@@ -1,0 +1,184 @@
+"""LD-matrix operators: the framework's hot compute path.
+
+The reference keeps the LD matrix as a scipy CSR per MPI rank and relies on
+scipy's sparse matvec (reference src/main.py:257, src/sgvamp.py:316,332).
+TPUs want dense, tiled, batched matmuls on the MXU instead, so the operator
+abstraction here exposes a *batched* matvec over the K-cohort axis:
+
+  matvec: (K, M) -> (K, M),  row k computes R_k @ x_k
+
+Implementations:
+  * DenseLD  - (K, M, M) dense stack; one einsum -> batched matmul on the
+               MXU. Under a mesh, R is sharded (cohort, shard, None) and x
+               (cohort, shard); XLA all-gathers x over the shard axis and
+               the matvec becomes a local block matmul (HBM-roofline bound).
+  * BandedLD - block-banded storage (K, nb, 2*hb+1, B, B): only diagonal
+               blocks within a bandwidth are kept, the TPU-friendly
+               equivalent of the reference's CSR sparsity for banded
+               genomic LD. matvec is a batched (B, B) x (B,) block contraction.
+
+All operators carry the `(1-s)*R + s*I` regularization as a scalar pair
+(reference src/main.py:265) folded into the matvec rather than materialized.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+
+def _regularize(y: Array, x: Array, s: float) -> Array:
+    # Rused @ x = (1-s) * (R @ x) + s * x   (reference src/main.py:265, folded)
+    if s == 0.0:
+        return y
+    return (1.0 - s) * y + s * x
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DenseLD:
+    """Dense stacked LD operator.
+
+    Attributes:
+      mats: (K, M, M) dense LD matrices (one per cohort).
+      s:    regularization weight in Rused = (1-s) R + s I.
+      accum_dtype: accumulation dtype for the matvec (use float32 when
+        `mats` is bfloat16 so the MXU accumulates in fp32).
+    """
+
+    mats: Array
+    s: float = dataclasses.field(default=0.0, metadata=dict(static=True))
+    accum_dtype: str = dataclasses.field(default="", metadata=dict(static=True))
+
+    @property
+    def K(self) -> int:
+        return self.mats.shape[0]
+
+    @property
+    def M(self) -> int:
+        return self.mats.shape[-1]
+
+    def matvec(self, x: Array) -> Array:
+        pet = jnp.dtype(self.accum_dtype) if self.accum_dtype else None
+        y = jnp.einsum("kij,kj->ki", self.mats, x.astype(self.mats.dtype),
+                       preferred_element_type=pet)
+        return _regularize(y.astype(x.dtype), x, self.s)
+
+    def to_dense(self) -> Array:
+        eye = jnp.eye(self.M, dtype=self.mats.dtype)
+        return (1.0 - self.s) * self.mats + self.s * eye[None]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BandedLD:
+    """Block-banded LD operator.
+
+    Genomic LD decays with base-pair distance, so R is effectively banded.
+    Storage keeps, for each of `nb = M/B` block rows, the `2*hb + 1`
+    diagonal-adjacent (B, B) blocks (zero-padded at the edges):
+
+      blocks[k, i, d] = R_k[i*B:(i+1)*B, (i+d-hb)*B:(i+d-hb+1)*B]
+
+    matvec gathers the needed x blocks and contracts with one batched
+    matmul of shape (K*nb*(2hb+1), B, B) @ (..., B) - MXU-shaped work with
+    O(M * B * (2hb+1)) FLOPs instead of O(M^2).
+
+    Attributes:
+      blocks: (K, nb, 2*hb+1, B, B)
+      s: regularization weight (folded into matvec).
+    """
+
+    blocks: Array
+    s: float = dataclasses.field(default=0.0, metadata=dict(static=True))
+    accum_dtype: str = dataclasses.field(default="", metadata=dict(static=True))
+
+    @property
+    def K(self) -> int:
+        return self.blocks.shape[0]
+
+    @property
+    def nb(self) -> int:
+        return self.blocks.shape[1]
+
+    @property
+    def hb(self) -> int:
+        return (self.blocks.shape[2] - 1) // 2
+
+    @property
+    def B(self) -> int:
+        return self.blocks.shape[-1]
+
+    @property
+    def M(self) -> int:
+        return self.nb * self.B
+
+    def matvec(self, x: Array) -> Array:
+        K, nb, nd, B = self.K, self.nb, 2 * self.hb + 1, self.B
+        hb = self.hb
+        xb = x.reshape(K, nb, B).astype(self.blocks.dtype)
+        # Neighbor block table: for block row i, columns i-hb .. i+hb.
+        # Build by shifting the block axis; out-of-range neighbors are zero
+        # (matching the zero-padded edge blocks).
+        shifted = []
+        for d in range(-hb, hb + 1):
+            shifted.append(_shift_blocks(xb, d))
+        xn = jnp.stack(shifted, axis=2)  # (K, nb, nd, B)
+        pet = jnp.dtype(self.accum_dtype) if self.accum_dtype else None
+        yb = jnp.einsum("kndij,kndj->kni", self.blocks, xn,
+                        preferred_element_type=pet)
+        y = yb.reshape(K, nb * B).astype(x.dtype)
+        return _regularize(y, x, self.s)
+
+    def to_dense(self) -> Array:
+        """Materialize dense (K, M, M) - for tests only."""
+        K, nb, B, hb = self.K, self.nb, self.B, self.hb
+        out = np.zeros((K, self.M, self.M), dtype=np.asarray(self.blocks).dtype)
+        blocks = np.asarray(self.blocks)
+        for k in range(K):
+            for i in range(nb):
+                for d in range(2 * hb + 1):
+                    j = i + d - hb
+                    if 0 <= j < nb:
+                        out[k, i * B:(i + 1) * B, j * B:(j + 1) * B] = blocks[k, i, d]
+        eye = np.eye(self.M, dtype=out.dtype)
+        return jnp.asarray((1.0 - self.s) * out + self.s * eye[None])
+
+    @staticmethod
+    def from_dense(mats: Array, block_size: int, bandwidth_blocks: int,
+                   s: float = 0.0, dtype=None) -> "BandedLD":
+        """Pack a dense (K, M, M) stack into block-banded storage.
+
+        Entries outside the band are dropped (caller chooses a bandwidth
+        that captures the LD support).
+        """
+        mats = np.asarray(mats)
+        K, M, _ = mats.shape
+        B, hb = block_size, bandwidth_blocks
+        if M % B:
+            raise ValueError(f"M={M} must be a multiple of block_size={B}")
+        nb = M // B
+        out = np.zeros((K, nb, 2 * hb + 1, B, B), dtype=dtype or mats.dtype)
+        for i in range(nb):
+            for d in range(2 * hb + 1):
+                j = i + d - hb
+                if 0 <= j < nb:
+                    out[:, i, d] = mats[:, i * B:(i + 1) * B, j * B:(j + 1) * B]
+        return BandedLD(blocks=jnp.asarray(out), s=s)
+
+
+def _shift_blocks(xb: Array, d: int) -> Array:
+    """Shift (K, nb, B) along the block axis by d, zero-filling the edge."""
+    if d == 0:
+        return xb
+    nb = xb.shape[1]
+    if abs(d) >= nb:
+        return jnp.zeros_like(xb)
+    if d > 0:
+        return jnp.pad(xb[:, d:], ((0, 0), (0, d), (0, 0)))
+    return jnp.pad(xb[:, :d], ((0, 0), (-d, 0), (0, 0)))

@@ -1,0 +1,375 @@
+"""The VAMP iteration as a pure, jit-compiled state -> state function.
+
+This is the TPU-native inversion of the reference's host-driven loop
+(reference src/sgvamp.py:196-388): instead of K MPI ranks each looping over
+markers in Python and exchanging (gam1, r1) via pickled broadcasts
+(src/sgvamp.py:226-233), the whole multi-cohort state lives in (K, ...)
+arrays inside one compiled program. Cross-cohort combination is a weighted
+reduction (a psum over the mesh's cohort axis when sharded); the two CG
+solves are batched over cohorts and their matvec block-shards over the
+mesh's shard axis. Hosts only do I/O between steps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from sgvamp_tpu.config import VampConfig
+from sgvamp_tpu.core.cg import cg_batched
+from sgvamp_tpu.core.denoiser import combine_cohorts, posterior_mean_and_slope
+from sgvamp_tpu.core.prior import PriorState, em_loop, mle_update
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class VampInputs:
+    """Per-run constant inputs.
+
+    op: LD operator with batched matvec (K, M) -> (K, M) (already carries
+        the (1-s)R + sI regularization, reference src/main.py:265).
+    r:  (K, M) marginal-association vectors X^T y per cohort.
+    a:  (K,) cohort weights N_k / Nt (reference src/main.py:287).
+    N:  (K,) per-cohort sample counts (reference src/main.py:85).
+    """
+
+    op: Any
+    r: Array
+    a: Array
+    N: Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class VampState:
+    """Complete VAMP iteration state (reference locals, src/sgvamp.py:198-217)."""
+
+    it: Array          # scalar int32
+    xhat1: Array       # (M,)  denoised estimate (shared across cohorts)
+    alpha1: Array      # (K,)  denoiser Onsager terms
+    r1: Array          # (K, M) extrinsic means into the denoiser
+    gam1: Array        # (K,)  extrinsic precisions into the denoiser
+    xhat2: Array       # (K, M) LMMSE estimates
+    r2: Array          # (K, M) extrinsic means into LMMSE
+    alpha2: Array      # (K,)  LMMSE Onsager terms
+    gam2: Array        # (K,)
+    gamw: Array        # (K,)  noise precision (floored, used next iteration)
+    sigma2_u: Array    # (K, M) warm start for the Hutchinson CG solve
+    prior: PriorState
+    key: Array         # PRNG key for Rademacher probes
+
+
+class StepAux(NamedTuple):
+    """Per-iteration observables for writers/logging (host side)."""
+
+    xhat1: Array        # (M,) damped denoised estimate of this iteration
+    r1_in: Array        # (K, M) the r1 used this iteration (pre-recursion)
+    gamw_raw: Array     # (K,) gamw before the 1.0 floor (reference logs this, :371-373)
+    gamw: Array         # (K,) floored gamw written to CSV (:374,377)
+    gam1: Array         # (K,) updated gam1 written to CSV
+    gam2: Array         # (K,)
+    alpha1: Array       # (K,)
+    alpha2: Array       # (K,)
+    lam: Array          # scalar, post-update
+    cg1_iters: Array    # (K,) int32
+    cg1_converged: Array
+    cg2_iters: Array
+    cg2_converged: Array
+    em_sweeps: Array    # scalar int32 (0 when EM not run)
+    em_rel_err: Array   # scalar
+
+
+def init_state(inputs: VampInputs, cfg: VampConfig, prior: PriorState,
+               gamw: float, gam1: float, seed: int = 0) -> VampState:
+    """Initial state (reference src/sgvamp.py:198-217)."""
+    dtype = cfg.jnp_dtype
+    K, M = inputs.r.shape
+    prior = jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        prior,
+    )
+    z = jnp.zeros((K, M), dtype)
+    return VampState(
+        it=jnp.zeros((), jnp.int32),
+        xhat1=jnp.zeros((M,), dtype),
+        alpha1=jnp.zeros((K,), dtype),
+        r1=inputs.r.astype(dtype),
+        gam1=jnp.full((K,), gam1, dtype),
+        xhat2=z,
+        r2=z,
+        alpha2=jnp.zeros((K,), dtype),
+        gam2=jnp.zeros((K,), dtype),
+        gamw=jnp.full((K,), gamw, dtype),
+        sigma2_u=z,
+        prior=prior,
+        key=jax.random.PRNGKey(seed),
+    )
+
+
+def vamp_step(
+    state: VampState,
+    inputs: VampInputs,
+    cfg: VampConfig,
+    u: Optional[Array] = None,
+) -> Tuple[VampState, StepAux]:
+    """One full VAMP iteration (reference src/sgvamp.py:222-387).
+
+    `u` optionally injects the (K, M) Rademacher probe for the Hutchinson
+    estimator (test hook for trajectory-exact comparison against the
+    reference, which consumes numpy's global RNG at src/sgvamp.py:326);
+    when None, probes are drawn from the state's PRNG key.
+    """
+    K, M = state.r1.shape
+    r1s, gam1s = state.r1, state.gam1
+    prior = state.prior
+    it = state.it
+
+    # ---- Prior update (reference :242-259) ----
+    do_update = it >= cfg.update_prior_from
+    em_sweeps = jnp.zeros((), jnp.int32)
+    em_rel_err = jnp.zeros((), cfg.jnp_dtype)
+    if cfg.prior_update == "em":
+        def run_em(p: PriorState):
+            lam, om, sweeps, err = em_loop(
+                r1s, gam1s, inputs.a, p.lam, p.omegas, p.sigmas,
+                cfg.em_prior_maxit, cfg.em_rel_tol,
+            )
+            return dataclasses.replace(p, lam=lam, omegas=om), sweeps, err
+
+        def skip_em(p: PriorState):
+            return p, jnp.zeros((), jnp.int32), jnp.zeros((), cfg.jnp_dtype)
+
+        prior, em_sweeps, em_rel_err = jax.lax.cond(do_update, run_em, skip_em, prior)
+    elif cfg.prior_update == "mle":
+        prior = jax.lax.cond(
+            do_update,
+            lambda p: mle_update(r1s, gam1s, inputs.a, p, cfg.mle_maxit, cfg.mle_tol),
+            lambda p: p,
+            prior,
+        )
+
+    # ---- Denoising (reference :266-296) ----
+    b, A, c = combine_cohorts(r1s, gam1s, inputs.a)
+    xhat1_new, dxdb = posterior_mean_and_slope(b, A, prior.lam, prior.omegas, prior.sigmas)
+    rho = cfg.rho
+    xhat1 = jnp.where(it > 0, rho * xhat1_new + (1 - rho) * state.xhat1, xhat1_new)
+
+    # alpha1_k = mean_j d xhat_j / d r1_kj = c_k * mean_j d xhat_j / d b_j
+    alpha1 = c * jnp.mean(dxdb)
+    alpha1 = jnp.where(it > 0, rho * alpha1 + (1 - rho) * state.alpha1, alpha1)
+    if cfg.clip_alpha1:
+        # The reference *intended* this clip but discards np.clip's result
+        # (src/sgvamp.py:293, quirks ledger #1); off by default for parity.
+        alpha1 = jnp.clip(alpha1, 1e-5, 1 - 1e-5)
+
+    # ---- LMMSE (reference :298-323) ----
+    gam2 = gam1s * (1 - alpha1) / alpha1
+    r2 = (xhat1[None, :] - alpha1[:, None] * r1s) / (1 - alpha1)[:, None]
+    gamw = state.gamw
+    mu2 = gamw[:, None] * inputs.r + gam2[:, None] * r2
+
+    def amatvec(x: Array) -> Array:
+        # A @ x = gamw * (R @ x) + gam2 * x, never materializing A
+        # (unlike reference src/sgvamp.py:312).
+        return gamw[:, None] * inputs.op.matvec(x) + gam2[:, None] * x
+
+    cg1 = cg_batched(amatvec, mu2, state.xhat2, cfg.cg_maxit, cfg.cg_rtol, cfg.cg_atol)
+    xhat2 = cg1.x
+    if cfg.lmmse_damp:
+        xhat2 = rho * xhat2 + (1 - rho) * state.xhat2
+
+    # ---- Hutchinson / Onsager-2 (reference :325-346) ----
+    key, sub = jax.random.split(state.key)
+    if u is None:
+        u = jax.random.rademacher(sub, (K, M), cfg.jnp_dtype)
+    else:
+        u = u.astype(cfg.jnp_dtype)
+    cg2 = cg_batched(amatvec, u, state.sigma2_u, cfg.cg_maxit, cfg.cg_rtol, cfg.cg_atol)
+    sigma2_u = cg2.x
+    tr_sigma2 = jnp.einsum("km,km->k", u, sigma2_u)
+    alpha2 = gam2 * tr_sigma2 / M
+    if cfg.lmmse_damp:
+        alpha2 = rho * alpha2 + (1 - rho) * state.alpha2
+
+    # ---- Precision recursions (reference :347-348) ----
+    gam1_new = gam2 * (1 - alpha2) / alpha2
+    r1_new = (xhat2 - alpha2[:, None] * r2) / (1 - alpha2)[:, None]
+
+    # ---- Noise precision learning (reference :350-374) ----
+    if cfg.learn_gamw:
+        Rx = inputs.op.matvec(xhat2)
+        z = (
+            inputs.N
+            - 2.0 * jnp.einsum("km,km->k", xhat2, inputs.r)
+            + jnp.einsum("km,km->k", xhat2, Rx)
+        )
+        z = jnp.maximum(z, 0.0)  # reference clips z at 0 (:353-354)
+        tr_r_sigma2 = jnp.einsum("km,km->k", u, inputs.op.matvec(sigma2_u))
+        gamw_raw = 1.0 / (z / inputs.N + tr_r_sigma2 / inputs.N)
+    else:
+        gamw_raw = gamw
+    gamw_new = jnp.maximum(gamw_raw, 1.0)  # floor (reference :374)
+
+    new_state = VampState(
+        it=it + 1,
+        xhat1=xhat1,
+        alpha1=alpha1,
+        r1=r1_new,
+        gam1=gam1_new,
+        xhat2=xhat2,
+        r2=r2,
+        alpha2=alpha2,
+        gam2=gam2,
+        gamw=gamw_new,
+        sigma2_u=sigma2_u,
+        prior=prior,
+        key=key,
+    )
+    aux = StepAux(
+        xhat1=xhat1,
+        r1_in=r1s,
+        gamw_raw=gamw_raw,
+        gamw=gamw_new,
+        gam1=gam1_new,
+        gam2=gam2,
+        alpha1=alpha1,
+        alpha2=alpha2,
+        lam=prior.lam,
+        cg1_iters=cg1.iters,
+        cg1_converged=cg1.converged,
+        cg2_iters=cg2.iters,
+        cg2_converged=cg2.converged,
+        em_sweeps=em_sweeps,
+        em_rel_err=em_rel_err,
+    )
+    return new_state, aux
+
+
+class VampEngine:
+    """Host-side driver around the jitted step.
+
+    Two execution modes:
+      * run():      host loop, one device dispatch per iteration, with
+                    reference-format output writing between steps
+                    (the analogue of reference VAMP.infer + its I/O).
+      * run_scan(): the entire run fused into one lax.scan program -- no
+                    host round-trips; used for benchmarking and when no
+                    per-iteration I/O is needed.
+    """
+
+    def __init__(
+        self,
+        inputs: VampInputs,
+        cfg: VampConfig,
+        prior: PriorState,
+        gamw: float = 5.0,
+        gam1: float = 1e-6,
+        mesh: Optional[jax.sharding.Mesh] = None,
+    ) -> None:
+        self.inputs = inputs
+        self.cfg = cfg
+        self.prior = prior
+        self.gamw0 = gamw
+        self.gam10 = gam1
+        self.mesh = mesh
+        if mesh is not None:
+            from sgvamp_tpu.parallel.sharding import shard_inputs
+            self.inputs = shard_inputs(self.inputs, mesh)
+        self._step = jax.jit(lambda s, u: vamp_step(s, self.inputs, cfg, u))
+        self._step_rand = jax.jit(lambda s: vamp_step(s, self.inputs, cfg, None))
+
+    def init_state(self, seed: int = 0) -> VampState:
+        state = init_state(self.inputs, self.cfg, self.prior,
+                           self.gamw0, self.gam10, seed)
+        if self.mesh is not None:
+            from sgvamp_tpu.parallel.sharding import shard_state
+            state = shard_state(state, self.mesh)
+        return state
+
+    def run(
+        self,
+        iterations: int,
+        state: Optional[VampState] = None,
+        fixed_u: Optional[np.ndarray] = None,
+        writer: Optional[Any] = None,
+        x0: Optional[np.ndarray] = None,
+        Nt: Optional[float] = None,
+        seed: int = 0,
+        callback=None,
+    ) -> Dict[str, Any]:
+        """Run `iterations` VAMP steps with per-iteration host I/O.
+
+        fixed_u: optional (iterations, K, M) Rademacher probes (test hook).
+        writer: an io.writers.OutputWriter (or None).
+        x0: true signal for metrics (already scaled, reference src/main.py:276).
+        Nt: total sample count, for the xhat/r1 output scaling by 1/sqrt(Nt)
+            (reference src/sgvamp.py:281,283).
+        """
+        if state is None:
+            state = self.init_state(seed)
+        history: Dict[str, Any] = {
+            "xhat1": [], "alignment": [], "l2": [], "params": [],
+            "cg1_iters": [], "cg2_iters": [],
+        }
+        x0v = None if x0 is None else np.asarray(x0).squeeze()
+        for it in range(iterations):
+            if fixed_u is not None:
+                state, aux = self._step(state, jnp.asarray(fixed_u[it]))
+            else:
+                state, aux = self._step_rand(state)
+            xhat1 = np.asarray(aux.xhat1)
+            r1_in = np.asarray(aux.r1_in)
+            history["xhat1"].append(xhat1)
+            history["cg1_iters"].append(np.asarray(aux.cg1_iters))
+            history["cg2_iters"].append(np.asarray(aux.cg2_iters))
+            lam = float(aux.lam)
+            rows = []
+            for k in range(r1_in.shape[0]):
+                rows.append([
+                    it, float(aux.gamw[k]), float(aux.gam1[k]), float(aux.gam2[k]),
+                    float(aux.alpha1[k]), float(aux.alpha2[k]), lam,
+                ])
+            history["params"].append(rows)
+            if writer is not None:
+                scale = 1.0 / np.sqrt(Nt) if Nt else 1.0
+                writer.write_xhat(it, xhat1 * scale)
+                for k in range(r1_in.shape[0]):
+                    writer.write_r1(it, r1_in[k] * scale, k + 1)
+                    writer.write_params(rows[k], k)
+            if x0v is not None:
+                nx, n0 = np.linalg.norm(xhat1), np.linalg.norm(x0v)
+                alignment = float(np.inner(xhat1, x0v) / (nx * n0))
+                l2 = float(np.linalg.norm(xhat1 - x0v) / n0)
+                history["alignment"].append(alignment)
+                history["l2"].append(l2)
+                if writer is not None:
+                    writer.write_metrics([it, alignment, l2])
+            if callback is not None:
+                callback(it, state, aux)
+        history["state"] = state
+        return history
+
+    def run_scan(
+        self,
+        iterations: int,
+        state: Optional[VampState] = None,
+        seed: int = 0,
+    ) -> Tuple[VampState, StepAux]:
+        """Fully-fused run: lax.scan over iterations, one XLA program."""
+        if state is None:
+            state = self.init_state(seed)
+
+        @jax.jit
+        def scan_fn(s0: VampState):
+            def body(s, _):
+                return vamp_step(s, self.inputs, self.cfg, None)
+            return jax.lax.scan(body, s0, None, length=iterations)
+
+        return scan_fn(state)

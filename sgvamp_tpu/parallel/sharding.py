@@ -1,0 +1,108 @@
+"""Mesh construction and sharding placement for the VAMP state.
+
+The reference's only parallelism is one MPI rank per cohort with the full
+MxM LD matrix replicated per rank (reference src/main.py:85,257; per-iteration
+pickled bcasts src/sgvamp.py:230-233). Here the device mesh has two named
+axes:
+
+  * "cohort" - data parallelism over the K cohorts (maps to DCN across
+    hosts). The denoiser's cross-cohort combine is a weighted reduction
+    over this axis (an XLA psum), replacing the K broadcasts.
+  * "shard"  - model parallelism over the marker axis M: the LD matrix is
+    block-sharded by rows so each CG matvec is a local block matmul plus an
+    all-gather of x over ICI. This removes the reference's per-rank
+    whole-matrix replication, the cap on M (SURVEY.md section 5).
+
+Shardings are placed on the inputs/state; XLA's sharding propagation
+inserts the collectives inside the jitted step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+COHORT_AXIS = "cohort"
+SHARD_AXIS = "shard"
+
+
+def make_mesh(
+    n_cohort: int = 1,
+    n_shard: Optional[int] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Create a (cohort, shard) mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_shard is None:
+        if len(devices) % n_cohort:
+            raise ValueError(
+                f"{len(devices)} devices not divisible by cohort axis {n_cohort}"
+            )
+        n_shard = len(devices) // n_cohort
+    arr = np.asarray(devices[: n_cohort * n_shard]).reshape(n_cohort, n_shard)
+    return Mesh(arr, (COHORT_AXIS, SHARD_AXIS))
+
+
+def _put(x, mesh: Mesh, spec: P):
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def spec_for(shape: tuple, mesh: Mesh) -> P:
+    """Sharding spec by array rank/shape convention used throughout:
+
+      (K, M)          -> (cohort, shard)
+      (K,)            -> (cohort,)
+      (M,)            -> (shard,)
+      (K, M, M)       -> (cohort, shard, None)      dense LD: rows sharded
+      (K, nb, d, B, B)-> (cohort, shard, None*3)    banded LD: block rows sharded
+      scalars / small -> replicated
+    """
+    ndim = len(shape)
+    if ndim == 0:
+        return P()
+    if ndim == 1:
+        # Heuristic: per-cohort scalar vectors are tiny; marker vectors large.
+        return P(SHARD_AXIS) if shape[0] >= 1024 else P(COHORT_AXIS)
+    if ndim == 2:
+        return P(COHORT_AXIS, SHARD_AXIS)
+    if ndim == 3:
+        return P(COHORT_AXIS, SHARD_AXIS, None)
+    return P(COHORT_AXIS, SHARD_AXIS, *([None] * (ndim - 2)))
+
+
+def shard_inputs(inputs, mesh: Mesh):
+    """Place VampInputs on the mesh (see sgvamp_tpu.core.vamp.VampInputs)."""
+    op = jax.tree_util.tree_map(
+        lambda x: _put(x, mesh, spec_for(x.shape, mesh)), inputs.op
+    )
+    return dataclasses.replace(
+        inputs,
+        op=op,
+        r=_put(inputs.r, mesh, P(COHORT_AXIS, SHARD_AXIS)),
+        a=_put(inputs.a, mesh, P()),
+        N=_put(inputs.N, mesh, P()),
+    )
+
+
+def shard_state(state, mesh: Mesh):
+    """Place a VampState on the mesh.
+
+    (K, M) arrays shard (cohort, shard); xhat1 (M,) shards over shard only;
+    per-cohort scalars and the prior are replicated (they are tiny and feed
+    scalar broadcasts).
+    """
+
+    def place(x):
+        if not hasattr(x, "shape"):
+            return x
+        if x.ndim == 2:
+            return _put(x, mesh, P(COHORT_AXIS, SHARD_AXIS))
+        if x.ndim == 1 and x.shape[0] >= 1024:
+            return _put(x, mesh, P(SHARD_AXIS))
+        return _put(x, mesh, P())
+
+    return jax.tree_util.tree_map(place, state)

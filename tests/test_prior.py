@@ -1,0 +1,167 @@
+"""Prior-learning tests: EM against a direct numpy transliteration, the EM
+convergence loop, and the Newton MLE solve against scipy.optimize.fsolve
+(the reference's solver, src/sgvamp.py:180) including failure semantics."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.optimize
+
+from sgvamp_tpu.core.prior import PriorState, em_loop, em_update, mle_update
+
+
+def _problem(rng, K=2, M=120, L=3):
+    r1s = rng.normal(size=(K, M)) * 2.0
+    gam1s = rng.uniform(0.5, 2.0, size=K)
+    a = rng.uniform(0.5, 1.0, size=K)
+    a /= a.sum()
+    lam = 0.25
+    omegas = rng.uniform(0.5, 1.0, size=L - 1)
+    omegas /= omegas.sum()
+    sigmas = rng.uniform(1.0, 6.0, size=L - 1)
+    return r1s, gam1s, a, lam, omegas, sigmas
+
+
+def _em_reference(r1s, gam1s, a, lam, omegas, sigmas):
+    """Transliteration of reference prior_update_em (src/sgvamp.py:116-136)."""
+    K, M = r1s.shape
+    Lm1 = len(sigmas)
+    pv = sigmas.reshape(1, 1, Lm1)
+    g = gam1s.reshape(K, 1, 1)
+    ginv = 1.0 / g
+    r = r1s.reshape(K, M, 1)
+    exp_max = (-(r ** 2) / 2 / (pv + ginv)).max(axis=2).reshape(K, M, 1)
+    xi = lam * omegas.reshape(1, 1, Lm1) * np.exp(-(r ** 2) / 2 / (pv + ginv) - exp_max) / np.sqrt(ginv + pv)
+    sum_xi = xi.sum(axis=2).reshape(K, M, 1)
+    xi_t = xi / sum_xi
+    pi = 1.0 / (1.0 + (1 - lam) * np.exp(-(r ** 2) / 2 * g - exp_max) / np.sqrt(ginv) / sum_xi)
+    new_lam = np.mean(np.average(pi, axis=0, weights=a))
+    new_om = np.sum(pi * xi_t * a.reshape(K, 1, 1), axis=(0, 1)) / np.sum(pi * a.reshape(K, 1, 1), axis=(0, 1))
+    return new_lam, new_om
+
+
+def test_em_update_matches_reference_formulas():
+    rng = np.random.default_rng(0)
+    r1s, gam1s, a, lam, omegas, sigmas = _problem(rng)
+    want_lam, want_om = _em_reference(r1s, gam1s, a, lam, omegas, sigmas)
+    got_lam, got_om = em_update(
+        jnp.asarray(r1s), jnp.asarray(gam1s), jnp.asarray(a),
+        jnp.asarray(lam), jnp.asarray(omegas), jnp.asarray(sigmas),
+    )
+    np.testing.assert_allclose(float(got_lam), want_lam, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(got_om), want_om, rtol=1e-12)
+
+
+def test_em_loop_matches_reference_loop():
+    """The while_loop must stop at the same sweep as the reference's
+    python loop (break after an update with rel err < 1e-6)."""
+    rng = np.random.default_rng(1)
+    r1s, gam1s, a, lam, omegas, sigmas = _problem(rng, M=200)
+
+    ref_lam, ref_om = lam, omegas.copy()
+    sweeps_ref = 0
+    for _ in range(100):
+        old_om, old_lam = ref_om.copy(), ref_lam
+        ref_lam, ref_om = _em_reference(r1s, gam1s, a, ref_lam, ref_om, sigmas)
+        sweeps_ref += 1
+        om_err = np.linalg.norm(ref_om - old_om) / np.linalg.norm(old_om)
+        lam_err = abs(ref_lam - old_lam) / ref_lam
+        if om_err < 1e-6 and lam_err < 1e-6:
+            break
+
+    got_lam, got_om, sweeps, _ = em_loop(
+        jnp.asarray(r1s), jnp.asarray(gam1s), jnp.asarray(a),
+        jnp.asarray(lam), jnp.asarray(omegas), jnp.asarray(sigmas),
+        maxit=100,
+    )
+    assert int(sweeps) == sweeps_ref
+    np.testing.assert_allclose(float(got_lam), ref_lam, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(got_om), ref_om, rtol=1e-10)
+
+
+def _fsolve_reference(r1s, gam1s, a, lam, omegas, sigmas, gam_init=1.0):
+    """fsolve on the reference KKT system (src/sgvamp.py:139-194)."""
+    L = len(sigmas) + 1
+    omega0 = np.concatenate([[1.0 - lam], lam * omegas])
+    sigma2 = np.concatenate([[1e-16], sigmas])
+    v = sigma2[None, None, :] + (1.0 / gam1s)[:, None, None]
+    E = -(r1s ** 2)[:, :, None] / (2.0 * v)
+    m = E.max()
+    probs = np.exp(E - m) / np.sqrt(v)
+
+    def kkt(x):
+        omega, gam = x[:L], x[L]
+        den = probs @ omega
+        y = np.empty(L + 1)
+        y[:L] = (a[:, None, None] * probs / den[:, :, None]).sum(axis=(0, 1)) \
+            + (omega0 - 1.0) / omega + gam
+        y[L] = omega.sum() - 1.0
+        return y
+
+    x0 = np.concatenate([omega0, [gam_init]])
+    x, _, ier, _ = scipy.optimize.fsolve(kkt, x0, full_output=True)
+    return x, ier
+
+
+def _vamp_like_state(seed, K=2, M=300, L=2):
+    """r1 = x + noise at precision gam1 - the state shape MLE sees in a run."""
+    rng = np.random.default_rng(seed)
+    sigmas = np.linspace(1.0, 4.0, L - 1)
+    x = np.where(rng.random(M) < 0.2, rng.normal(0, 1.0, M), 0.0)
+    gam1s = rng.uniform(0.5, 2.0, K)
+    r1s = x[None, :] + rng.normal(size=(K, M)) / np.sqrt(gam1s)[:, None]
+    a = np.full(K, 1.0 / K)
+    omegas = np.ones(L - 1) / (L - 1)
+    return r1s, gam1s, a, 0.25, omegas, sigmas
+
+
+@pytest.mark.parametrize("seed", [1, 2, 4])
+def test_mle_matches_fsolve_fixed_point(seed):
+    L = 2
+    r1s, gam1s, a, lam, omegas, sigmas = _vamp_like_state(seed, L=L)
+    x_ref, ier = _fsolve_reference(r1s, gam1s, a, lam, omegas, sigmas)
+    assert ier == 1 and np.all(x_ref[:L] > 0)
+    w = x_ref[:L] / x_ref[:L].sum()
+    want_lam = 1.0 - w[0]
+    want_om = w[1:] / w[1:].sum()
+
+    prior = PriorState.create(lam, omegas, sigmas)
+    new = mle_update(jnp.asarray(r1s), jnp.asarray(gam1s), jnp.asarray(a), prior)
+    np.testing.assert_allclose(float(new.lam), want_lam, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(new.omegas), want_om, rtol=1e-6)
+    np.testing.assert_allclose(float(new.mle_gam), x_ref[L], rtol=1e-5)
+    assert bool(new.mle_gam_valid)
+
+
+def test_mle_l3_guarded():
+    """On an ill-posed L=3 problem (close slab variances on random data,
+    where fsolve fails with ier 4/5 or negative weights), the update must
+    either be rejected (prior unchanged) or produce a genuine positive
+    normalized root with a small KKT residual - never a garbage update."""
+    r1s, gam1s, a, lam, omegas, sigmas = _vamp_like_state(0, L=3)
+    prior = PriorState.create(lam, omegas, sigmas)
+    new = mle_update(jnp.asarray(r1s), jnp.asarray(gam1s), jnp.asarray(a), prior)
+    if bool(new.mle_gam_valid):
+        w = np.concatenate([[1 - float(new.lam)],
+                            float(new.lam) * np.asarray(new.omegas)])
+        assert np.all(w > 0)
+        np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-10)
+    else:
+        np.testing.assert_allclose(float(new.lam), lam)
+        np.testing.assert_allclose(np.asarray(new.omegas), omegas)
+
+
+def test_mle_failure_skips_update():
+    """Degenerate inputs (all-zero r1s with a huge precision) should leave
+    the prior untouched, mirroring the reference's reject path (:182-189)."""
+    K, M = 1, 20
+    r1s = jnp.zeros((K, M))
+    gam1s = jnp.asarray([1e18])
+    a = jnp.asarray([1.0])
+    prior = PriorState.create(0.25, [1.0], [1e-30])
+    new = mle_update(r1s, gam1s, a, prior, maxit=5, tol=1e-30)
+    # Either the solve legitimately converges (then weights are positive and
+    # finite) or the prior is unchanged; with these inputs Newton cannot meet
+    # tol in 5 iterations, so expect the unchanged path.
+    np.testing.assert_allclose(float(new.lam), 0.25)
+    np.testing.assert_allclose(np.asarray(new.omegas), [1.0])
