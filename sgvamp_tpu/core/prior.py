@@ -57,7 +57,8 @@ class PriorState:
 # ---------------------------------------------------------------------------
 
 def em_update(
-    r1s: Array, gam1s: Array, a: Array, lam: Array, omegas: Array, sigmas: Array
+    r1s: Array, gam1s: Array, a: Array, lam: Array, omegas: Array,
+    sigmas: Array, mask: Array | None = None
 ) -> Tuple[Array, Array]:
     """One EM sweep over the (K, M, L-1) responsibility tensor.
 
@@ -66,6 +67,7 @@ def em_update(
     inclusion posteriors pi, then
       lam    <- mean_j( sum_k a_k pi_kj / sum_k a_k )
       omegas <- sum_kj a_k pi xi_tilde / sum_kj a_k pi .
+    `mask` (M,) excludes padded markers from both reductions.
     """
     r2 = (r1s * r1s)[:, :, None]                       # (K, M, 1)
     v = sigmas[None, None, :] + (1.0 / gam1s)[:, None, None]  # (K, 1->M, L-1)
@@ -80,9 +82,14 @@ def em_update(
         * jnp.sqrt(gam1s)[:, None, None]
     )
     pi = 1.0 / (1.0 + spike / sxi)                     # (K, M, 1)
+    if mask is not None:
+        pi = pi * mask[None, :, None]
+        M_active = jnp.sum(mask)
+    else:
+        M_active = r1s.shape[1]
 
     asum = jnp.sum(a)
-    new_lam = jnp.mean(jnp.einsum("k,kmo->mo", a, pi) / asum)
+    new_lam = jnp.sum(jnp.einsum("k,kmo->mo", a, pi) / asum) / M_active
     num = jnp.einsum("k,kml->l", a, pi[:, :, 0:1] * xi_tilde)
     den = jnp.einsum("k,kmo->", a, pi)
     new_omegas = num / den
@@ -107,6 +114,7 @@ def em_loop(
     sigmas: Array,
     maxit: int,
     rel_tol: float = 1e-6,
+    mask: Array | None = None,
 ) -> Tuple[Array, Array, Array, Array]:
     """Run EM sweeps to convergence (reference driver loop src/sgvamp.py:250-259).
 
@@ -120,7 +128,8 @@ def em_loop(
         return (s.it < maxit) & jnp.logical_not(s.done)
 
     def body(s: _EMLoopState) -> _EMLoopState:
-        new_lam, new_omegas = em_update(r1s, gam1s, a, s.lam, s.omegas, sigmas)
+        new_lam, new_omegas = em_update(r1s, gam1s, a, s.lam, s.omegas,
+                                        sigmas, mask=mask)
         omega_err = jnp.linalg.norm(new_omegas - s.omegas) / jnp.linalg.norm(s.omegas)
         lam_err = jnp.abs(new_lam - s.lam) / new_lam  # reference divides by self.lam *after* update (:255)
         done = (omega_err < rel_tol) & (lam_err < rel_tol)
@@ -142,7 +151,8 @@ def em_loop(
 # MLE update (reference src/sgvamp.py:139-194)
 # ---------------------------------------------------------------------------
 
-def _kkt_residual(x: Array, log_probs_shifted: Array, a: Array, omega0: Array) -> Array:
+def _kkt_residual(x: Array, log_probs_shifted: Array, a: Array, omega0: Array,
+                  mask: Array | None = None) -> Array:
     """KKT residual of the penalized mixture-weight MLE.
 
     x = (omega_1..omega_L, gam). Matches reference Lagrangian_der
@@ -158,7 +168,10 @@ def _kkt_residual(x: Array, log_probs_shifted: Array, a: Array, omega0: Array) -
     gam = x[L]
     probs = jnp.exp(log_probs_shifted)                          # (K, M, L)
     den = jnp.einsum("kml,l->km", probs, omega)                 # (K, M)
-    grad = jnp.einsum("k,kml,km->l", a, probs, 1.0 / den)
+    w = 1.0 / den
+    if mask is not None:
+        w = w * mask[None, :]
+    grad = jnp.einsum("k,kml,km->l", a, probs, w)
     y_omega = grad + (omega0 - 1.0) / omega + gam
     y_gam = jnp.sum(omega) - 1.0
     return jnp.concatenate([y_omega, y_gam[None]])
@@ -179,6 +192,7 @@ def mle_update(
     prior: PriorState,
     maxit: int = 200,
     tol: float = 1e-10,
+    mask: Array | None = None,
 ) -> PriorState:
     """MLE prior update with fsolve-equivalent semantics.
 
@@ -205,7 +219,7 @@ def mle_update(
     gam_init = jnp.where(prior.mle_gam_valid, prior.mle_gam, jnp.asarray(1.0, dtype))
     x0 = jnp.concatenate([omega0, gam_init[None]])
 
-    resid_fn = lambda x: _kkt_residual(x, log_probs, a, omega0)
+    resid_fn = lambda x: _kkt_residual(x, log_probs, a, omega0, mask)
     jac_fn = jax.jacfwd(resid_fn)
 
     def cond(s: _NewtonState) -> Array:

@@ -36,12 +36,24 @@ class VampInputs:
     r:  (K, M) marginal-association vectors X^T y per cohort.
     a:  (K,) cohort weights N_k / Nt (reference src/main.py:287).
     N:  (K,) per-cohort sample counts (reference src/main.py:85).
+    mask: optional (M,) 0/1 marker-validity mask. When the operator pads M
+        up to a block multiple, padded markers carry mask 0 and are
+        excluded from every marker-mean/trace (alpha1, alpha2, EM/MLE
+        sums, Hutchinson probes), making padded runs exactly equal to
+        unpadded ones.
     """
 
     op: Any
     r: Array
     a: Array
     N: Array
+    mask: Optional[Array] = None
+
+    @property
+    def M_active(self) -> Array:
+        if self.mask is None:
+            return self.r.shape[1]
+        return jnp.sum(self.mask)
 
 
 @jax.tree_util.register_dataclass
@@ -130,6 +142,8 @@ def vamp_step(
     r1s, gam1s = state.r1, state.gam1
     prior = state.prior
     it = state.it
+    mask = inputs.mask
+    M_active = inputs.M_active
 
     # ---- Prior update (reference :242-259) ----
     do_update = it >= cfg.update_prior_from
@@ -139,7 +153,7 @@ def vamp_step(
         def run_em(p: PriorState):
             lam, om, sweeps, err = em_loop(
                 r1s, gam1s, inputs.a, p.lam, p.omegas, p.sigmas,
-                cfg.em_prior_maxit, cfg.em_rel_tol,
+                cfg.em_prior_maxit, cfg.em_rel_tol, mask=mask,
             )
             return dataclasses.replace(p, lam=lam, omegas=om), sweeps, err
 
@@ -150,7 +164,8 @@ def vamp_step(
     elif cfg.prior_update == "mle":
         prior = jax.lax.cond(
             do_update,
-            lambda p: mle_update(r1s, gam1s, inputs.a, p, cfg.mle_maxit, cfg.mle_tol),
+            lambda p: mle_update(r1s, gam1s, inputs.a, p, cfg.mle_maxit,
+                                 cfg.mle_tol, mask=mask),
             lambda p: p,
             prior,
         )
@@ -162,7 +177,10 @@ def vamp_step(
     xhat1 = jnp.where(it > 0, rho * xhat1_new + (1 - rho) * state.xhat1, xhat1_new)
 
     # alpha1_k = mean_j d xhat_j / d r1_kj = c_k * mean_j d xhat_j / d b_j
-    alpha1 = c * jnp.mean(dxdb)
+    if mask is None:
+        alpha1 = c * jnp.mean(dxdb)
+    else:
+        alpha1 = c * (jnp.sum(dxdb * mask) / M_active)
     alpha1 = jnp.where(it > 0, rho * alpha1 + (1 - rho) * state.alpha1, alpha1)
     if cfg.clip_alpha1:
         # The reference *intended* this clip but discards np.clip's result
@@ -191,10 +209,12 @@ def vamp_step(
         u = jax.random.rademacher(sub, (K, M), cfg.jnp_dtype)
     else:
         u = u.astype(cfg.jnp_dtype)
+    if mask is not None:
+        u = u * mask[None, :]
     cg2 = cg_batched(amatvec, u, state.sigma2_u, cfg.cg_maxit, cfg.cg_rtol, cfg.cg_atol)
     sigma2_u = cg2.x
     tr_sigma2 = jnp.einsum("km,km->k", u, sigma2_u)
-    alpha2 = gam2 * tr_sigma2 / M
+    alpha2 = gam2 * tr_sigma2 / M_active
     if cfg.lmmse_damp:
         alpha2 = rho * alpha2 + (1 - rho) * state.alpha2
 
@@ -303,6 +323,8 @@ class VampEngine:
         Nt: Optional[float] = None,
         seed: int = 0,
         callback=None,
+        M_out: Optional[int] = None,
+        it0: int = 0,
     ) -> Dict[str, Any]:
         """Run `iterations` VAMP steps with per-iteration host I/O.
 
@@ -311,6 +333,9 @@ class VampEngine:
         x0: true signal for metrics (already scaled, reference src/main.py:276).
         Nt: total sample count, for the xhat/r1 output scaling by 1/sqrt(Nt)
             (reference src/sgvamp.py:281,283).
+        M_out: trim vectors to this length in outputs (when the operator
+            padded M up to a block multiple).
+        it0: iteration offset for file naming/CSV rows when resuming.
         """
         if state is None:
             state = self.init_state(seed)
@@ -319,13 +344,14 @@ class VampEngine:
             "cg1_iters": [], "cg2_iters": [],
         }
         x0v = None if x0 is None else np.asarray(x0).squeeze()
-        for it in range(iterations):
+        for rel_it in range(iterations):
+            it = it0 + rel_it
             if fixed_u is not None:
-                state, aux = self._step(state, jnp.asarray(fixed_u[it]))
+                state, aux = self._step(state, jnp.asarray(fixed_u[rel_it]))
             else:
                 state, aux = self._step_rand(state)
-            xhat1 = np.asarray(aux.xhat1)
-            r1_in = np.asarray(aux.r1_in)
+            xhat1 = np.asarray(aux.xhat1)[:M_out]
+            r1_in = np.asarray(aux.r1_in)[:, :M_out]
             history["xhat1"].append(xhat1)
             history["cg1_iters"].append(np.asarray(aux.cg1_iters))
             history["cg2_iters"].append(np.asarray(aux.cg2_iters))

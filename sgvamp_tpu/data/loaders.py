@@ -1,0 +1,164 @@
+"""Host-side loaders for summary statistics: r vectors, LD matrices, true
+signals, and the cross-cohort missing-SNP fill.
+
+Format support mirrors the reference loaders exactly:
+  r:  .txt (loadtxt), .npy, PLINK .linear (BETA column, NaN->0, *sqrt(N))
+      (reference src/main.py:176-194)
+  R:  sparse .npz, dense .npy, PLINK .ld table (SNP_A, SNP_B, R ->
+      symmetric matrix with unit diagonal) (reference src/main.py:199-263)
+  x0: .bin packed doubles or .npy, both *sqrt(N) (reference src/main.py:269-285)
+
+Where the reference exchanges missing-SNP LD rows over MPI point-to-point
+(src/main.py:211-249), the single-driver design loads all cohorts and fills
+each cohort's missing rows/columns from its assigned source cohort in
+memory (fill_missing_from_source).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+import scipy.sparse
+
+from sgvamp_tpu.data.harmonize import HarmonizedPanel
+
+
+# ---------------------------------------------------------------------------
+# r vectors
+# ---------------------------------------------------------------------------
+
+def load_r(path: str, M_local: int, N: float) -> np.ndarray:
+    """Load a cohort's marginal-association vector in local index space."""
+    if path.endswith(".txt"):
+        r = np.loadtxt(path).reshape(M_local)
+    elif path.endswith(".npy"):
+        r = np.load(path).reshape(M_local)
+    elif path.endswith(".linear"):
+        df = pd.read_table(path, sep=r"\s+")
+        r = np.array(df["BETA"], dtype=np.float64).reshape(M_local)
+        r[np.isnan(r)] = 0.0
+        r = r * np.sqrt(N)
+    else:
+        raise ValueError(f"Unsupported r vector format: {path}")
+    return np.asarray(r, dtype=np.float64)
+
+
+def scatter_to_reference(r_local: np.ndarray, i_map: np.ndarray, M: int) -> np.ndarray:
+    """Place local-order values into reference index space (src/main.py:190-191)."""
+    out = np.zeros(M, dtype=np.float64)
+    out[i_map] = r_local
+    return out
+
+
+# ---------------------------------------------------------------------------
+# LD matrices
+# ---------------------------------------------------------------------------
+
+def load_ld_table(path: str, variant_index: dict) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Parse a PLINK .ld table into (rows, cols, vals) in reference index
+    space (reference src/main.py:205-208; scripts/plink2np.py:33-41)."""
+    df = pd.read_table(path, sep=r"\s+")
+    rows = np.asarray([variant_index[rs] for rs in df["SNP_A"]], dtype=np.int64)
+    cols = np.asarray([variant_index[rs] for rs in df["SNP_B"]], dtype=np.int64)
+    vals = np.asarray(df["R"], dtype=np.float64)
+    return rows, cols, vals
+
+
+def triplets_to_csr(rows, cols, vals, M: int) -> scipy.sparse.csr_matrix:
+    """Symmetric CSR with unit diagonal from one-sided LD triplets - the
+    shared CSR-assembly idiom (reference src/main.py:251-257 and
+    scripts/plink2np.py:42-48; one implementation here per SURVEY 3.4)."""
+    ind_r = np.concatenate([np.arange(M), rows, cols])
+    ind_c = np.concatenate([np.arange(M), cols, rows])
+    v = np.concatenate([np.ones(M), vals, vals])
+    return scipy.sparse.csr_matrix((v, (ind_r, ind_c)), shape=(M, M))
+
+
+def load_R(path: str, variant_index: Optional[dict] = None):
+    """Load an LD matrix: returns scipy CSR for .npz/.ld, dense ndarray for .npy."""
+    if path.endswith(".npz"):
+        return scipy.sparse.load_npz(path)
+    if path.endswith(".npy"):
+        return np.load(path)
+    if path.endswith(".ld"):
+        if variant_index is None:
+            raise ValueError(".ld input requires .bim files for variant indexing")
+        rows, cols, vals = load_ld_table(path, variant_index)
+        M = len(variant_index)
+        return triplets_to_csr(rows, cols, vals, M)
+    raise ValueError(f"Unsupported R matrix format: {path}")
+
+
+def fill_missing_from_source(
+    Rs: List, rs: List[np.ndarray], panel: HarmonizedPanel
+) -> Tuple[List, List[np.ndarray]]:
+    """Fill each cohort's missing reference SNPs from its source cohorts.
+
+    Replaces the reference's MPI send/recv of LD triplets and r values
+    (src/main.py:211-249): for cohort k's missing index set assigned to
+    source cohort j, copy cohort j's LD rows/columns and r entries for
+    those indices into cohort k's arrays.
+    """
+    K = len(Rs)
+    dense = [np.asarray(R.todense()) if scipy.sparse.issparse(R) else np.array(R)
+             for R in Rs]
+    out_r = [r.copy() for r in rs]
+    for k in range(K):
+        for j in range(K):
+            if j == k:
+                continue
+            take = panel.missing[k][panel.sources[k][panel.missing[k]] == j]
+            if take.size == 0:
+                continue
+            dense[k][take, :] = dense[j][take, :]
+            dense[k][:, take] = dense[j][:, take]
+            out_r[k][take] = rs[j][take]
+    return dense, out_r
+
+
+# ---------------------------------------------------------------------------
+# true signal
+# ---------------------------------------------------------------------------
+
+def load_true_signal(path: str, M: int, N: float) -> np.ndarray:
+    """Load x0 and scale by sqrt(N) (reference src/main.py:269-285)."""
+    if path.endswith(".bin"):
+        with open(path, "rb") as f:
+            buf = f.read(M * 8)
+        x0 = np.asarray(struct.unpack(str(M) + "d", buf), dtype=np.float64)
+    elif path.endswith(".npy"):
+        x0 = np.load(path).astype(np.float64).reshape(-1)[:M]
+    else:
+        raise ValueError(f"Unsupported true signal format: {path}")
+    return x0 * np.sqrt(N)
+
+
+# ---------------------------------------------------------------------------
+# densification for the TPU operators
+# ---------------------------------------------------------------------------
+
+def to_dense_stack(Rs: Sequence, M: int) -> np.ndarray:
+    """Stack per-cohort LD matrices into a dense (K, M, M) float array."""
+    out = np.empty((len(Rs), M, M), dtype=np.float64)
+    for k, R in enumerate(Rs):
+        out[k] = np.asarray(R.todense()) if scipy.sparse.issparse(R) else np.asarray(R)
+    return out
+
+
+def estimate_bandwidth(R, quantile: float = 1.0) -> int:
+    """Max |i-j| over nonzero entries (optionally a quantile for outlier-
+    robust banding). Used to pick BandedLD bandwidth for sparse LD."""
+    if scipy.sparse.issparse(R):
+        coo = R.tocoo()
+        d = np.abs(coo.row - coo.col)
+    else:
+        nz = np.nonzero(np.asarray(R))
+        d = np.abs(nz[0] - nz[1])
+    if d.size == 0:
+        return 0
+    if quantile >= 1.0:
+        return int(d.max())
+    return int(np.quantile(d, quantile))

@@ -1,0 +1,73 @@
+"""Checkpoint/resume for the VAMP state.
+
+The reference has no resume mechanism - its per-iteration xhat/r1 binary
+dumps are checkpoint-shaped but cannot restore a run (SURVEY.md section 5).
+Here the full VampState pytree (including the prior and PRNG key) is saved
+each iteration as a flat .npz, so a killed run restarts exactly where it
+stopped. Writes are atomic (tmp file + rename) so a crash mid-write never
+corrupts the latest checkpoint.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, keep: int = 3) -> None:
+        self.directory = directory
+        self.keep = keep
+        os.makedirs(directory, exist_ok=True)
+
+    def _path(self, it: int) -> str:
+        return os.path.join(self.directory, f"vamp_state_{it:06d}.npz")
+
+    def save(self, state, it: int) -> str:
+        leaves, treedef = jax.tree_util.tree_flatten(state)
+        arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+        path = self._path(it)
+        tmp = path + ".tmp.npz"
+        np.savez(tmp, **arrays)
+        os.replace(tmp, path)
+        self._gc()
+        return path
+
+    def _existing(self):
+        pat = re.compile(r"vamp_state_(\d+)\.npz$")
+        out = []
+        for name in os.listdir(self.directory):
+            m = pat.match(name)
+            if m:
+                out.append((int(m.group(1)), os.path.join(self.directory, name)))
+        return sorted(out)
+
+    def _gc(self) -> None:
+        existing = self._existing()
+        for _, path in existing[: max(0, len(existing) - self.keep)]:
+            os.remove(path)
+
+    def restore_latest(self, template) -> Optional[Tuple[object, int]]:
+        """Restore the newest checkpoint into the structure of `template`.
+
+        Returns (state, iteration) or None if no checkpoint exists.
+        """
+        existing = self._existing()
+        if not existing:
+            return None
+        it, path = existing[-1]
+        with np.load(path) as data:
+            leaves = [data[f"leaf_{i}"] for i in range(len(data.files))]
+        _, treedef = jax.tree_util.tree_flatten(template)
+        state = jax.tree_util.tree_unflatten(treedef, leaves)
+        # Restore on-device with the template's dtypes/shardings.
+        state = jax.tree_util.tree_map(
+            lambda t, x: jax.device_put(np.asarray(x).astype(t.dtype), t.sharding)
+            if hasattr(t, "sharding") else x,
+            template, state,
+        )
+        return state, it

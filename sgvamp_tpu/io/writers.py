@@ -27,14 +27,20 @@ METRICS_HEADER = ["it", "alignment", "l2"]
 
 
 class OutputWriter:
-    def __init__(self, out_dir: str, out_name: str, K: int) -> None:
+    def __init__(self, out_dir: str, out_name: str, K: int,
+                 append: bool = False) -> None:
+        """`append=True` (resume) keeps existing CSVs and only creates
+        headers for files that do not exist yet."""
         self.out_dir = out_dir
         self.out_name = out_name
         self.K = K
         os.makedirs(out_dir, exist_ok=True)
         for k in range(K):
-            self._write_row(self._cohort_path(k), PARAMS_HEADER, mode="w")
-        self._write_row(self.metrics_path, METRICS_HEADER, mode="w")
+            path = self._cohort_path(k)
+            if not (append and os.path.exists(path)):
+                self._write_row(path, PARAMS_HEADER, mode="w")
+        if not (append and os.path.exists(self.metrics_path)):
+            self._write_row(self.metrics_path, METRICS_HEADER, mode="w")
 
     # -- paths -------------------------------------------------------------
     def _cohort_path(self, cohort_idx: int) -> str:
