@@ -66,6 +66,7 @@ class VampConfig:
     cg_maxit: int = 500                   # max CG iterations per solve
     cg_rtol: float = 1e-5                 # scipy.sparse.linalg.cg default rtol
     cg_atol: float = 0.0                  # scipy.sparse.linalg.cg default atol
+    cg_force_maxiter: bool = False        # exactly cg_maxit iterations (benchmarking)
     learn_gamw: bool = True               # learn noise precision
     lmmse_damp: bool = True               # damp xhat2 / alpha2
     prior_update: Optional[str] = "em"    # "em" | "mle" | None

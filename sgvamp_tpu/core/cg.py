@@ -52,6 +52,7 @@ def cg_batched(
     maxiter: int,
     rtol: float = 1e-5,
     atol: float = 0.0,
+    force_maxiter: bool = False,
 ) -> CGResult:
     """Solve K independent SPD systems A_k x_k = b_k by masked batched CG.
 
@@ -61,6 +62,9 @@ def cg_batched(
       x0:     (K, M) warm starts (reference src/sgvamp.py:316,332).
       maxiter: static max iteration count.
       rtol, atol: scipy-compatible tolerances.
+      force_maxiter: run exactly maxiter iterations on every lane
+        (deterministic work for benchmarking; also guards against lanes
+        freezing on an exactly-zero f32 residual).
 
     Returns:
       CGResult. `converged[k]` matches scipy's `info == 0` semantics:
@@ -73,7 +77,7 @@ def cg_batched(
 
     r0 = b - matvec(x0)
     rz0 = _rowdot(r0, r0)
-    active0 = rz0 > tol2
+    active0 = jnp.full(b.shape[0], True) if force_maxiter else rz0 > tol2
     state = _CGState(
         x=x0,
         r=r0,
@@ -104,7 +108,7 @@ def cg_batched(
         p = jnp.where(act, p, s.p)
         rz = jnp.where(s.active, rz_new, s.rz)
         iters = s.iters + s.active.astype(jnp.int32)
-        active = s.active & (rz > tol2)
+        active = s.active if force_maxiter else s.active & (rz > tol2)
         return _CGState(x=x, r=r, p=p, rz=rz, k=s.k + 1, iters=iters, active=active)
 
     final = jax.lax.while_loop(cond, body, state)

@@ -64,10 +64,16 @@ class DenseLD:
         return self.mats.shape[-1]
 
     def matvec(self, x: Array) -> Array:
+        """R @ x rowwise. x: (S*K, M) - S>=1 independent right-hand sides
+        per cohort, stacked along the leading axis; one fused pass over
+        the matrix serves all of them (the multi-RHS trick that halves
+        HBM traffic when the two CG solves of a VAMP iteration share A)."""
         pet = jnp.dtype(self.accum_dtype) if self.accum_dtype else None
-        y = jnp.einsum("kij,kj->ki", self.mats, x.astype(self.mats.dtype),
+        S = x.shape[0] // self.K
+        xs = x.reshape(S, self.K, self.M).astype(self.mats.dtype)
+        y = jnp.einsum("kij,skj->ski", self.mats, xs,
                        preferred_element_type=pet)
-        return _regularize(y.astype(x.dtype), x, self.s)
+        return _regularize(y.reshape(x.shape).astype(x.dtype), x, self.s)
 
     def to_dense(self) -> Array:
         eye = jnp.eye(self.M, dtype=self.mats.dtype)
@@ -119,20 +125,23 @@ class BandedLD:
         return self.nb * self.B
 
     def matvec(self, x: Array) -> Array:
+        """R @ x rowwise; x may stack S right-hand sides per cohort along
+        the leading axis ((S*K, M)) - one fused pass serves all."""
         K, nb, nd, B = self.K, self.nb, 2 * self.hb + 1, self.B
         hb = self.hb
-        xb = x.reshape(K, nb, B).astype(self.blocks.dtype)
+        S = x.shape[0] // K
+        xb = x.reshape(S, K, nb, B).astype(self.blocks.dtype)
         # Neighbor block table: for block row i, columns i-hb .. i+hb.
         # Build by shifting the block axis; out-of-range neighbors are zero
         # (matching the zero-padded edge blocks).
         shifted = []
         for d in range(-hb, hb + 1):
             shifted.append(_shift_blocks(xb, d))
-        xn = jnp.stack(shifted, axis=2)  # (K, nb, nd, B)
+        xn = jnp.stack(shifted, axis=3)  # (S, K, nb, nd, B)
         pet = jnp.dtype(self.accum_dtype) if self.accum_dtype else None
-        yb = jnp.einsum("kndij,kndj->kni", self.blocks, xn,
+        yb = jnp.einsum("kndij,skndj->skni", self.blocks, xn,
                         preferred_element_type=pet)
-        y = yb.reshape(K, nb * B).astype(x.dtype)
+        y = yb.reshape(x.shape).astype(x.dtype)
         return _regularize(y, x, self.s)
 
     def to_dense(self) -> Array:
@@ -148,6 +157,43 @@ class BandedLD:
                         out[k, i * B:(i + 1) * B, j * B:(j + 1) * B] = blocks[k, i, d]
         eye = np.eye(self.M, dtype=out.dtype)
         return jnp.asarray((1.0 - self.s) * out + self.s * eye[None])
+
+    @staticmethod
+    def from_band(band: "np.ndarray", block_size: int, K: int = 1,
+                  s: float = 0.0, dtype=None) -> "BandedLD":
+        """Pack symmetric band storage (M, 2*bw+1) into block-banded form
+        without materializing MxM (the large-M path used by bench/sim).
+
+        band[i, bw + d] = R[i, i+d]. M is padded up to a block multiple
+        with identity rows (callers mask padded markers via VampInputs.mask).
+        """
+        band = np.asarray(band)
+        M, nd = band.shape
+        bw = (nd - 1) // 2
+        B = block_size
+        pad = (-M) % B
+        if pad:
+            ext = np.zeros((pad, nd), dtype=band.dtype)
+            ext[:, bw] = 1.0
+            band = np.concatenate([band, ext], axis=0)
+            M = M + pad
+        nb = M // B
+        hb = -(-bw // B)  # block half-bandwidth
+        band_r = band.reshape(nb, B, nd)
+        out_dtype = dtype or band.dtype
+        blocks = np.zeros((nb, 2 * hb + 1, B, B), dtype=out_dtype)
+        p = np.arange(B)[:, None]
+        q = np.arange(B)[None, :]
+        for d in range(2 * hb + 1):
+            off0 = (d - hb) * B
+            col = bw + off0 + q - p           # (B, B) band-column index
+            valid = (col >= 0) & (col < nd)
+            colc = np.clip(col, 0, nd - 1)
+            vals = np.take_along_axis(band_r, colc[None, :, :], axis=2)
+            blocks[:, d] = np.where(valid[None], vals, 0.0)
+        stacked = blocks[None] if K == 1 else np.repeat(blocks[None], K, axis=0)
+        return BandedLD(blocks=jnp.asarray(stacked), s=s,
+                        accum_dtype="float32" if out_dtype != np.float64 else "")
 
     @staticmethod
     def from_dense(mats: Array, block_size: int, bandwidth_blocks: int,
@@ -173,12 +219,13 @@ class BandedLD:
 
 
 def _shift_blocks(xb: Array, d: int) -> Array:
-    """Shift (K, nb, B) along the block axis by d, zero-filling the edge."""
+    """Shift (..., nb, B) along the block axis by d, zero-filling the edge."""
     if d == 0:
         return xb
-    nb = xb.shape[1]
+    nb = xb.shape[-2]
     if abs(d) >= nb:
         return jnp.zeros_like(xb)
+    lead = [(0, 0)] * (xb.ndim - 2)
     if d > 0:
-        return jnp.pad(xb[:, d:], ((0, 0), (0, d), (0, 0)))
-    return jnp.pad(xb[:, :d], ((0, 0), (-d, 0), (0, 0)))
+        return jnp.pad(xb[..., d:, :], lead + [(0, d), (0, 0)])
+    return jnp.pad(xb[..., :d, :], lead + [(-d, 0), (0, 0)])

@@ -193,17 +193,11 @@ def vamp_step(
     gamw = state.gamw
     mu2 = gamw[:, None] * inputs.r + gam2[:, None] * r2
 
-    def amatvec(x: Array) -> Array:
-        # A @ x = gamw * (R @ x) + gam2 * x, never materializing A
-        # (unlike reference src/sgvamp.py:312).
-        return gamw[:, None] * inputs.op.matvec(x) + gam2[:, None] * x
-
-    cg1 = cg_batched(amatvec, mu2, state.xhat2, cfg.cg_maxit, cfg.cg_rtol, cfg.cg_atol)
-    xhat2 = cg1.x
-    if cfg.lmmse_damp:
-        xhat2 = rho * xhat2 + (1 - rho) * state.xhat2
-
-    # ---- Hutchinson / Onsager-2 (reference :325-346) ----
+    # Draw the Hutchinson probe up front so its CG solve can FUSE with the
+    # LMMSE solve: both systems share A_k = gamw_k R_k + gam2_k I, so one
+    # multi-RHS batched CG of 2K lanes reads each R block once per
+    # iteration - half the HBM traffic of the reference's two sequential
+    # scipy solves (src/sgvamp.py:316,332).
     key, sub = jax.random.split(state.key)
     if u is None:
         u = jax.random.rademacher(sub, (K, M), cfg.jnp_dtype)
@@ -211,8 +205,26 @@ def vamp_step(
         u = u.astype(cfg.jnp_dtype)
     if mask is not None:
         u = u * mask[None, :]
-    cg2 = cg_batched(amatvec, u, state.sigma2_u, cfg.cg_maxit, cfg.cg_rtol, cfg.cg_atol)
-    sigma2_u = cg2.x
+
+    gamw2 = jnp.concatenate([gamw, gamw])
+    gam22 = jnp.concatenate([gam2, gam2])
+
+    def amatvec2(x: Array) -> Array:
+        # A @ x = gamw * (R @ x) + gam2 * x, never materializing A
+        # (unlike reference src/sgvamp.py:312).
+        return gamw2[:, None] * inputs.op.matvec(x) + gam22[:, None] * x
+
+    cg = cg_batched(
+        amatvec2,
+        jnp.concatenate([mu2, u], axis=0),
+        jnp.concatenate([state.xhat2, state.sigma2_u], axis=0),
+        cfg.cg_maxit, cfg.cg_rtol, cfg.cg_atol, cfg.cg_force_maxiter,
+    )
+    xhat2, sigma2_u = cg.x[:K], cg.x[K:]
+    if cfg.lmmse_damp:
+        xhat2 = rho * xhat2 + (1 - rho) * state.xhat2
+
+    # ---- Hutchinson / Onsager-2 (reference :325-346) ----
     tr_sigma2 = jnp.einsum("km,km->k", u, sigma2_u)
     alpha2 = gam2 * tr_sigma2 / M_active
     if cfg.lmmse_damp:
@@ -224,14 +236,16 @@ def vamp_step(
 
     # ---- Noise precision learning (reference :350-374) ----
     if cfg.learn_gamw:
-        Rx = inputs.op.matvec(xhat2)
+        # One fused multi-RHS pass computes both R @ xhat2 (for z,
+        # reference :352) and R @ Sigma2_u (for the trace term, :359).
+        Rboth = inputs.op.matvec(jnp.concatenate([xhat2, sigma2_u], axis=0))
         z = (
             inputs.N
             - 2.0 * jnp.einsum("km,km->k", xhat2, inputs.r)
-            + jnp.einsum("km,km->k", xhat2, Rx)
+            + jnp.einsum("km,km->k", xhat2, Rboth[:K])
         )
         z = jnp.maximum(z, 0.0)  # reference clips z at 0 (:353-354)
-        tr_r_sigma2 = jnp.einsum("km,km->k", u, inputs.op.matvec(sigma2_u))
+        tr_r_sigma2 = jnp.einsum("km,km->k", u, Rboth[K:])
         gamw_raw = 1.0 / (z / inputs.N + tr_r_sigma2 / inputs.N)
     else:
         gamw_raw = gamw
@@ -262,10 +276,10 @@ def vamp_step(
         alpha1=alpha1,
         alpha2=alpha2,
         lam=prior.lam,
-        cg1_iters=cg1.iters,
-        cg1_converged=cg1.converged,
-        cg2_iters=cg2.iters,
-        cg2_converged=cg2.converged,
+        cg1_iters=cg.iters[:K],
+        cg1_converged=cg.converged[:K],
+        cg2_iters=cg.iters[K:],
+        cg2_converged=cg.converged[K:],
         em_sweeps=em_sweeps,
         em_rel_err=em_rel_err,
     )
@@ -302,8 +316,11 @@ class VampEngine:
         if mesh is not None:
             from sgvamp_tpu.parallel.sharding import shard_inputs
             self.inputs = shard_inputs(self.inputs, mesh)
-        self._step = jax.jit(lambda s, u: vamp_step(s, self.inputs, cfg, u))
-        self._step_rand = jax.jit(lambda s: vamp_step(s, self.inputs, cfg, None))
+        # inputs are jit *arguments*, not closure captures: capturing them
+        # would bake the LD blocks into the program as multi-GB constants
+        # (slow lowering + doubled device memory).
+        self._step = jax.jit(lambda s, i, u: vamp_step(s, i, cfg, u))
+        self._step_rand = jax.jit(lambda s, i: vamp_step(s, i, cfg, None))
 
     def init_state(self, seed: int = 0) -> VampState:
         state = init_state(self.inputs, self.cfg, self.prior,
@@ -347,9 +364,9 @@ class VampEngine:
         for rel_it in range(iterations):
             it = it0 + rel_it
             if fixed_u is not None:
-                state, aux = self._step(state, jnp.asarray(fixed_u[rel_it]))
+                state, aux = self._step(state, self.inputs, jnp.asarray(fixed_u[rel_it]))
             else:
-                state, aux = self._step_rand(state)
+                state, aux = self._step_rand(state, self.inputs)
             xhat1 = np.asarray(aux.xhat1)[:M_out]
             r1_in = np.asarray(aux.r1_in)[:, :M_out]
             history["xhat1"].append(xhat1)
@@ -393,9 +410,9 @@ class VampEngine:
             state = self.init_state(seed)
 
         @jax.jit
-        def scan_fn(s0: VampState):
+        def scan_fn(s0: VampState, inputs: VampInputs):
             def body(s, _):
-                return vamp_step(s, self.inputs, self.cfg, None)
+                return vamp_step(s, inputs, self.cfg, None)
             return jax.lax.scan(body, s0, None, length=iterations)
 
-        return scan_fn(state)
+        return scan_fn(state, self.inputs)

@@ -107,30 +107,97 @@ def simulate_banded(
     K: int = 1, rng: Optional[np.random.Generator] = None,
     dtype=np.float32,
 ):
-    """Synthetic *banded* LD panel for large-M benchmarking.
+    """Small-M dense wrapper around band-storage simulation (tests)."""
+    band, r, x0 = simulate_ld_band(N, M, bandwidth, h2, lam, rng=rng, dtype=dtype)
+    R = band_to_dense(band)
+    Rs = np.repeat(R[None], K, axis=0)
+    rs = np.repeat(r[None], K, axis=0)
+    return Rs, rs, x0
 
-    Builds R directly as a banded SPD correlation-like matrix (AR-style
-    decay within the band) without materializing genotypes, plus a
-    consistent r = R beta + noise/sqrt(N). This is the scale regime the
-    reference cannot reach (it replicates dense/CSR R per rank,
-    src/main.py:257); used by bench.py and the sharded tests.
+
+def simulate_ld_band(
+    N: int, M: int, bandwidth: int, h2: float = 0.8, lam: float = 0.1,
+    rng: Optional[np.random.Generator] = None, dtype=np.float32,
+):
+    """Large-M banded SPD LD panel in band storage - never materializes MxM.
+
+    Construction: a banded lower factor L (positive diagonal, decaying
+    band) gives R = L L^T, SPD and banded with twice L's bandwidth; the
+    diagonal is then normalized to 1 (a correlation matrix, like X^T X
+    with standardized X/sqrt(N), reference sim_gen_phen.py:48-50).
+
+    Returns (band, r, x0) where
+      band: (M, 2*bandwidth+1) symmetric band storage,
+            band[i, bandwidth + d] = R[i, i+d] for |d| <= bandwidth;
+      r = R x0 + eps with eps ~ N(0, (1-h2) R) - the correlated noise the
+          summary-statistics likelihood implies (r = X^T y = R x0 + X^T w
+          has Var(X^T w) = sigma_w^2 R), drawn as eps = sqrt(1-h2) L w
+          using the banded factor R = L L^T;
+      x0 = sqrt(N) * beta, beta sparse with slab variance h2/cm - so prior
+          vars (0, h2/cm) are the matched hyperparameters.
+
+    This is the scale regime the reference cannot reach (it replicates the
+    dense/CSR R per rank, src/main.py:257).
     """
     rng = rng or np.random.default_rng()
-    beta = _sparse_beta(rng, M, lam, var=h2 / max(int(M * lam), 1))
-    offs = np.arange(1, bandwidth + 1)
-    decay = 0.9 ** offs * 0.5
-    Rs, rs = [], []
-    for _ in range(K):
-        R = np.zeros((M, M), dtype=dtype)
-        np.fill_diagonal(R, 1.0)
-        for o, d in zip(offs, decay):
-            band = (d * rng.uniform(0.5, 1.0, M - o)).astype(dtype)
-            R[np.arange(M - o), np.arange(o, M)] = band
-            R[np.arange(o, M), np.arange(M - o)] = band
-        # Diagonal dominance keeps it SPD.
-        row_off = np.abs(R).sum(axis=1) - 1.0
-        np.fill_diagonal(R, 1.0 + row_off)
-        r = R @ beta.astype(dtype) + rng.normal(0, 1.0 / np.sqrt(N), M).astype(dtype)
-        Rs.append(R)
-        rs.append(r)
-    return np.stack(Rs), np.stack(rs), beta
+    hb = bandwidth // 2  # L bandwidth; R gets 2*hb = bandwidth
+    # L band storage: Lb[i, d] = L[i, i-d], d = 0..hb
+    decay = (0.85 ** np.arange(1, hb + 1) * 0.6 / np.sqrt(hb)).astype(np.float64)
+    Lb = np.empty((M, hb + 1), dtype=np.float64)
+    Lb[:, 0] = 1.0
+    Lb[:, 1:] = rng.uniform(-1.0, 1.0, size=(M, hb)) * decay[None, :]
+    for d in range(1, hb + 1):  # zero out-of-range entries (row i < d)
+        Lb[:d, d] = 0.0
+    # R[i, i+k] = sum_d L[i, i-d] * L[i+k, i-d] = sum_d Lb[i, d] * Lb[i+k, d+k]
+    upper = np.zeros((M, bandwidth + 1), dtype=np.float64)
+    for k in range(0, bandwidth + 1):
+        acc = np.zeros(M)
+        for d in range(0, hb - k + 1):
+            # valid rows: i + k < M
+            acc[: M - k] += Lb[: M - k, d] * Lb[k:, d + k]
+        upper[:, k] = acc
+    # Normalize to unit diagonal.
+    diag = upper[:, 0].copy()
+    scale = 1.0 / np.sqrt(diag)
+    for k in range(0, bandwidth + 1):
+        upper[: M - k, k] *= scale[: M - k] * scale[k:] if k else scale * scale
+    # Symmetric band storage (2*bandwidth+1 diagonals).
+    band = np.zeros((M, 2 * bandwidth + 1), dtype=dtype)
+    band[:, bandwidth:] = upper
+    for k in range(1, bandwidth + 1):
+        band[k:, bandwidth - k] = upper[: M - k, k]
+
+    cm = max(int(M * lam), 1)
+    beta = _sparse_beta(rng, M, lam, var=h2 / cm)
+    x0 = (np.sqrt(N) * beta).astype(np.float64)
+    # eps = sqrt(1-h2) * Lhat @ w with Lhat = diag(scale) L, so that
+    # Rhat = Lhat Lhat^T and Var(eps) = (1-h2) Rhat.
+    w = rng.normal(0.0, 1.0, M)
+    Lw = np.zeros(M)
+    for d in range(0, hb + 1):
+        Lw[d:] += Lb[d:, d] * w[: M - d] if d else Lb[:, 0] * w
+    eps = np.sqrt(1.0 - h2) * scale * Lw
+    r = band_matvec(band, x0) + eps
+    return band, r.astype(dtype), x0
+
+
+def band_matvec(band: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """y = R @ x with R in symmetric band storage (host-side, for sim/tests)."""
+    M, nd = band.shape
+    bw = (nd - 1) // 2
+    y = band[:, bw] * x
+    for k in range(1, bw + 1):
+        y[: M - k] += band[: M - k, bw + k] * x[k:]
+        y[k:] += band[k:, bw - k] * x[: M - k]
+    return y
+
+
+def band_to_dense(band: np.ndarray) -> np.ndarray:
+    """Materialize band storage to dense (M, M) - small M only (tests)."""
+    M, nd = band.shape
+    bw = (nd - 1) // 2
+    R = np.zeros((M, M), dtype=band.dtype)
+    for d in range(-bw, bw + 1):
+        idx = np.arange(max(0, -d), min(M, M - d))
+        R[idx, idx + d] = band[idx, bw + d]
+    return R

@@ -77,6 +77,22 @@ def test_already_converged_does_zero_iterations():
     np.testing.assert_allclose(np.asarray(res.x[0]), xstar)
 
 
+def test_force_maxiter_runs_full_budget():
+    """force_maxiter executes exactly maxiter iterations on every lane,
+    even from an already-converged warm start, without NaNs."""
+    rng = np.random.default_rng(7)
+    M = 48
+    A = _spd(rng, M)
+    xstar = rng.normal(size=M)
+    b = A @ xstar
+    mv = lambda x: jnp.einsum("ij,kj->ki", jnp.asarray(A), x)
+    res = cg_batched(mv, jnp.asarray(b)[None], jnp.asarray(xstar)[None],
+                     maxiter=25, rtol=1e-5, force_maxiter=True)
+    assert int(res.iters[0]) == 25
+    assert np.all(np.isfinite(np.asarray(res.x)))
+    np.testing.assert_allclose(np.asarray(res.x[0]), xstar, rtol=1e-6)
+
+
 def test_batched_lanes_freeze_independently():
     """Each lane must produce exactly the trajectory of a solo solve: an
     easy system lane stops early and is untouched while a hard lane runs on."""
