@@ -13,12 +13,15 @@ mesh's shard axis. Hosts only do I/O between steps.
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import Array
+
+logger = logging.getLogger("sgvamp")
 
 from sgvamp_tpu.config import VampConfig
 from sgvamp_tpu.core.cg import cg_batched
@@ -363,12 +366,14 @@ class VampEngine:
         x0v = None if x0 is None else np.asarray(x0).squeeze()
         for rel_it in range(iterations):
             it = it0 + rel_it
+            logger.info(f"\n -----ITERATION {it} -----")
             if fixed_u is not None:
                 state, aux = self._step(state, self.inputs, jnp.asarray(fixed_u[rel_it]))
             else:
                 state, aux = self._step_rand(state, self.inputs)
             xhat1 = np.asarray(aux.xhat1)[:M_out]
             r1_in = np.asarray(aux.r1_in)[:, :M_out]
+            self._log_iteration(it, aux)
             history["xhat1"].append(xhat1)
             history["cg1_iters"].append(np.asarray(aux.cg1_iters))
             history["cg2_iters"].append(np.asarray(aux.cg2_iters))
@@ -398,6 +403,37 @@ class VampEngine:
                 callback(it, state, aux)
         history["state"] = state
         return history
+
+    def _log_iteration(self, it: int, aux: StepAux) -> None:
+        """Per-iteration diagnostics, mirroring the reference's logging
+        (reference src/sgvamp.py:296,308,318-319,335-336,343,371 - but
+        emitted once by the single driver instead of per-rank)."""
+        cg1_i = np.asarray(aux.cg1_iters)
+        cg1_c = np.asarray(aux.cg1_converged)
+        cg2_i = np.asarray(aux.cg2_iters)
+        cg2_c = np.asarray(aux.cg2_converged)
+        if self.cfg.cg_force_maxiter:  # fixed budgets never "converge"
+            cg1_c = cg2_c = np.ones_like(cg1_c)
+        for k in range(cg1_i.shape[0]):
+            if not cg1_c[k]:
+                logger.info(
+                    f"Cohort {k} WARNING: CG 1 convergence after {int(cg1_i[k])} iterations not achieved!"
+                )
+            if not cg2_c[k]:
+                logger.info(
+                    f"Cohort {k} WARNING: CG 2 convergence after {int(cg2_i[k])} iterations not achieved!"
+                )
+        logger.debug(f"alpha1 = {np.asarray(aux.alpha1)}")
+        logger.debug(f"gam2 = {np.asarray(aux.gam2)}")
+        logger.debug(f"alpha2 = {np.asarray(aux.alpha2)}")
+        logger.debug(f"gam1 = {np.asarray(aux.gam1)}")
+        logger.debug(f"gamw = {np.asarray(aux.gamw_raw)}")
+        logger.debug(f"lam = {float(aux.lam):0.9f}")
+        if self.cfg.prior_update == "em" and int(aux.em_sweeps) > 0:
+            logger.info(
+                f"... prior-learning EM algorithm performed {int(aux.em_sweeps)} steps "
+                f"and had final relative error = {float(aux.em_rel_err):0.9f}"
+            )
 
     def run_scan(
         self,

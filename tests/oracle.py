@@ -24,8 +24,10 @@ from scipy.sparse.linalg import cg as scipy_cg
 class ReferenceOracle:
     def __init__(self, Rs, rs, a, Ns, Nt, prior_vars, prior_probs,
                  rho=0.5, gamw=5.0, gam1=1e-6):
-        """Rs: list of K (M, M) arrays (already regularized); rs: (K, M)."""
-        self.Rs = [np.asarray(R, dtype=np.float64) for R in Rs]
+        """Rs: list of K (M, M) arrays or scipy sparse matrices (already
+        regularized, like the reference's CSR path); rs: (K, M)."""
+        self.Rs = [R.tocsr().astype(np.float64) if scipy.sparse.issparse(R)
+                   else np.asarray(R, dtype=np.float64) for R in Rs]
         self.rs = np.asarray(rs, dtype=np.float64)
         self.K, self.M = self.rs.shape
         self.a = np.asarray(a, dtype=np.float64)
@@ -129,7 +131,8 @@ class ReferenceOracle:
         alpha2 = np.zeros(K)
         xhat2 = np.zeros((K, M))
         sigma2_u = np.zeros((K, M))
-        I = np.eye(M)
+        sparse = any(scipy.sparse.issparse(R) for R in self.Rs)
+        I = scipy.sparse.identity(M, format="csr") if sparse else np.eye(M)
 
         hist = {"xhat1": [], "params": [], "r1_in": [], "lam": []}
         for it in range(iterations):
