@@ -1,0 +1,196 @@
+"""Pallas TPU kernel: symmetric block-banded matvec with half storage.
+
+The LD matrix is symmetric, so only the upper-triangle block diagonals
+U[i, d] = R[block i, block i+d], d = 0..hb need to live in HBM. The kernel
+walks block rows sequentially (TPU grid steps are sequential on a core,
+so accumulation into a VMEM-resident output is race-free): at block row i
+it reads the (hb+1, B, B) upper blocks once and accumulates BOTH
+contributions
+
+    y_i += U[i, d] @ x_{i+d}          (row)
+    y_{i+d} += U[i, d]^T @ x_i        (mirrored column, d > 0)
+
+so HBM traffic per matvec is (hb+1)/(2hb+1) of the full-band operator -
+approaching half for wide bands - while x and y stay VMEM-resident
+(supports M up to ~1M per core at S=2 RHS in f32). The d-loop is a static
+unroll of MXU matmuls; the pallas pipeline double-buffers the U block rows.
+
+This is the single-chip hot path; the sharded path uses the XLA einsum
+operator (core/operators.py::BandedLD) whose collectives XLA manages.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _sym_band_kernel(ub_ref, x_ref, y_ref, *, hb: int, B: int, nb: int):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        y_ref[:, :] = jnp.zeros_like(y_ref)
+
+    x_i = x_ref[:, pl.ds(i * B, B)]  # (S, B)
+    acc_dt = jnp.promote_types(x_ref.dtype, jnp.float32)
+    for d in range(hb + 1):
+        Ud = ub_ref[0, d]  # (B, B) = R[block i, block i+d]
+
+        if d == 0:
+            y_ref[:, pl.ds(i * B, B)] += jnp.dot(
+                x_i, Ud.T, preferred_element_type=acc_dt
+            )
+        else:
+            @pl.when(i + d < nb)
+            def _():
+                j = i + d
+                x_j = x_ref[:, pl.ds(j * B, B)]
+                # y_i[s, p] += sum_q Ud[p, q] x_j[s, q]
+                y_ref[:, pl.ds(i * B, B)] += jnp.dot(
+                    x_j, Ud.T, preferred_element_type=acc_dt
+                )
+                # y_j[s, q] += sum_p Ud[p, q] x_i[s, p]
+                y_ref[:, pl.ds(j * B, B)] += jnp.dot(
+                    x_i, Ud, preferred_element_type=acc_dt
+                )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _sym_band_matvec(ub: Array, x: Array, interpret: bool = False) -> Array:
+    """y = R @ x from upper blocks. ub: (nb, hb+1, B, B); x: (S, M)."""
+    nb, hbp1, B, _ = ub.shape
+    hb = hbp1 - 1
+    S, M = x.shape
+    kernel = functools.partial(_sym_band_kernel, hb=hb, B=B, nb=nb)
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, hbp1, B, B), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, M), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((S, M), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, M), x.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * nb * hbp1 * B * B * S,
+            bytes_accessed=ub.size * ub.dtype.itemsize + 2 * x.size * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(ub, x)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SymBandedLD:
+    """Symmetric block-banded LD operator backed by the pallas kernel.
+
+    upper: (K, nb, hb+1, B, B) upper-triangle block diagonals.
+    Same matvec contract as the other operators: x is (S*K, M).
+    """
+
+    upper: Array
+    s: float = dataclasses.field(default=0.0, metadata=dict(static=True))
+
+    @property
+    def K(self) -> int:
+        return self.upper.shape[0]
+
+    @property
+    def nb(self) -> int:
+        return self.upper.shape[1]
+
+    @property
+    def hb(self) -> int:
+        return self.upper.shape[2] - 1
+
+    @property
+    def B(self) -> int:
+        return self.upper.shape[-1]
+
+    @property
+    def M(self) -> int:
+        return self.nb * self.B
+
+    def matvec(self, x: Array) -> Array:
+        K = self.K
+        S = x.shape[0] // K
+        interpret = jax.default_backend() != "tpu"
+        xs = x.reshape(S, K, self.M).transpose(1, 0, 2)  # (K, S, M)
+        y = jax.vmap(lambda ub, xv: _sym_band_matvec(ub, xv, interpret=interpret))(
+            self.upper, xs.astype(self.upper.dtype)
+        )
+        y = y.transpose(1, 0, 2).reshape(x.shape).astype(x.dtype)
+        if self.s != 0.0:
+            y = (1.0 - self.s) * y + self.s * x
+        return y
+
+    @staticmethod
+    def from_band(band: "np.ndarray", block_size: int, K: int = 1,
+                  s: float = 0.0, dtype=None) -> "SymBandedLD":
+        """Pack symmetric band storage (M, 2*bw+1) into upper blocks.
+
+        Same padding semantics as BandedLD.from_band (identity diagonal on
+        padded markers, callers mask them).
+        """
+        band = np.asarray(band)
+        M, nd_full = band.shape
+        bw = (nd_full - 1) // 2
+        B = block_size
+        pad = (-M) % B
+        if pad:
+            ext = np.zeros((pad, nd_full), dtype=band.dtype)
+            ext[:, bw] = 1.0
+            band = np.concatenate([band, ext], axis=0)
+            M = M + pad
+        nb = M // B
+        hb = -(-bw // B)
+        band_r = band.reshape(nb, B, nd_full)
+        out_dtype = dtype or band.dtype
+        upper = np.zeros((nb, hb + 1, B, B), dtype=out_dtype)
+        p = np.arange(B)[:, None]
+        q = np.arange(B)[None, :]
+        for d in range(hb + 1):
+            off0 = d * B
+            col = bw + off0 + q - p
+            valid = (col >= 0) & (col < nd_full)
+            colc = np.clip(col, 0, nd_full - 1)
+            vals = np.take_along_axis(band_r, colc[None, :, :], axis=2)
+            blk = np.where(valid[None], vals, 0.0)
+            if d == 0:
+                # Keep only the upper triangle + diagonal of the diagonal
+                # block; the kernel's mirrored update adds the transpose,
+                # so splitting the diagonal block symmetrically would
+                # double-count. Instead: store the FULL diagonal block and
+                # skip its mirror in the kernel (d == 0 branch).
+                pass
+            upper[:, d] = blk
+        stacked = upper[None] if K == 1 else np.repeat(upper[None], K, axis=0)
+        return SymBandedLD(upper=jnp.asarray(stacked), s=s)
+
+    def to_dense(self) -> Array:
+        """Materialize (K, M, M) - tests only."""
+        K, nb, hbp1, B = self.K, self.nb, self.hb + 1, self.B
+        up = np.asarray(self.upper)
+        out = np.zeros((K, self.M, self.M), dtype=up.dtype)
+        for k in range(K):
+            for i in range(nb):
+                for d in range(hbp1):
+                    j = i + d
+                    if j < nb:
+                        blk = up[k, i, d]
+                        out[k, i * B:(i + 1) * B, j * B:(j + 1) * B] += blk
+                        if d > 0:
+                            out[k, j * B:(j + 1) * B, i * B:(i + 1) * B] += blk.T
+        eye = np.eye(self.M, dtype=out.dtype)
+        return jnp.asarray((1.0 - self.s) * out + self.s * eye[None])
