@@ -59,7 +59,17 @@ def scatter_to_reference(r_local: np.ndarray, i_map: np.ndarray, M: int) -> np.n
 
 def load_ld_table(path: str, variant_index: dict) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Parse a PLINK .ld table into (rows, cols, vals) in reference index
-    space (reference src/main.py:205-208; scripts/plink2np.py:33-41)."""
+    space (reference src/main.py:205-208; scripts/plink2np.py:33-41).
+
+    Uses the native C++ parser (sgvamp_tpu.native) when available - one
+    streaming pass with a hash-map SNP lookup - and falls back to pandas.
+    """
+    from sgvamp_tpu import native
+
+    # variant_index is insertion-ordered (built from the harmonized list).
+    got = native.parse_ld(path, list(variant_index.keys()))
+    if got is not None:
+        return got
     df = pd.read_table(path, sep=r"\s+")
     rows = np.asarray([variant_index[rs] for rs in df["SNP_A"]], dtype=np.int64)
     cols = np.asarray([variant_index[rs] for rs in df["SNP_B"]], dtype=np.int64)
