@@ -176,34 +176,47 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     # -- LD matrices (reference src/main.py:199-263) --
     ts = time.time()
-    vindex = {rs_: i for i, rs_ in enumerate(panel.variants)}
-    Rs = [loaders.load_R(p, vindex) for p in ld_paths]
-    if any(p.endswith(".ld") for p in ld_paths) and K > 1:
-        Rs, rs = loaders.fill_missing_from_source(Rs, rs, panel)
+    B = args.block_size
+    all_ld_tables = all(p.endswith(".ld") for p in ld_paths)
+    if args.operator == "banded" and all_ld_tables:
+        # Band-direct ingestion: .ld triplets (native parser) -> symmetric
+        # band storage -> block-banded operator, never materializing MxM.
+        bands, rs_list, bw, dropped = loaders.ld_files_to_bands(
+            ld_paths, rs, panel, args.bandwidth, dtype=np.dtype(dtype))
+        if dropped:
+            log.info(f"WARNING: {dropped} LD entries outside bandwidth {bw} dropped")
+        ops = [BandedLD.from_band(bands[k], block_size=B, s=s, dtype=dtype)
+               for k in range(K)]
+        op = BandedLD(blocks=jnp.concatenate([o.blocks for o in ops], axis=0),
+                      s=s, accum_dtype=ops[0].accum_dtype)
+        Mp = ops[0].M
+        pad = Mp - M
+        rs = np.stack(rs_list)
+    else:
+        vindex = {rs_: i for i, rs_ in enumerate(panel.variants)}
+        Rs = [loaders.load_R(p, vindex) for p in ld_paths]
+        if any(p.endswith(".ld") for p in ld_paths) and K > 1:
+            Rs, rs = loaders.fill_missing_from_source(Rs, rs, panel)
+        dense = loaders.to_dense_stack(Rs, M)
+        rs = np.stack(rs)
+        if args.operator == "banded":
+            bw = args.bandwidth
+            if bw is None:
+                bw = max(loaders.estimate_bandwidth(R) for R in Rs)
+            pad = (-M) % B
+            if pad:
+                dense = np.pad(dense, ((0, 0), (0, pad), (0, pad)))
+                for i in range(pad):  # keep padded diagonal SPD
+                    dense[:, M + i, M + i] = 1.0
+            hb = -(-(bw + B - 1) // B)
+            op = BandedLD.from_dense(dense, block_size=B, bandwidth_blocks=hb,
+                                     s=s, dtype=dtype)
+            Mp = dense.shape[-1]
+        else:
+            op = DenseLD(mats=jnp.asarray(dense, dtype), s=s)
+            pad, Mp = 0, M
     log.info(f"Loaded {K} LD matrices of shape ({M}, {M})")
     log.debug(f"Loading R matrices took {time.time() - ts:.3f} seconds\n")
-
-    dense = loaders.to_dense_stack(Rs, M)
-    rs = np.stack(rs)
-
-    # -- operator --
-    if args.operator == "banded":
-        bw = args.bandwidth
-        if bw is None:
-            bw = max(loaders.estimate_bandwidth(R) for R in Rs)
-        B = args.block_size
-        pad = (-M) % B
-        if pad:
-            dense = np.pad(dense, ((0, 0), (0, pad), (0, pad)))
-            for i in range(pad):  # keep padded diagonal SPD
-                dense[:, M + i, M + i] = 1.0
-        hb = -(-(bw + B - 1) // B)
-        op = BandedLD.from_dense(dense, block_size=B, bandwidth_blocks=hb,
-                                 s=s, dtype=dtype)
-        Mp = dense.shape[-1]
-    else:
-        op = DenseLD(mats=jnp.asarray(dense, dtype), s=s)
-        pad, Mp = 0, M
 
     # -- true signal (reference src/main.py:269-285; rank-0 N scaling) --
     x0 = None

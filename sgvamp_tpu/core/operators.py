@@ -180,7 +180,7 @@ class BandedLD:
         nb = M // B
         hb = -(-bw // B)  # block half-bandwidth
         band_r = band.reshape(nb, B, nd)
-        out_dtype = dtype or band.dtype
+        out_dtype = np.dtype(dtype) if dtype is not None else band.dtype
         blocks = np.zeros((nb, 2 * hb + 1, B, B), dtype=out_dtype)
         p = np.arange(B)[:, None]
         q = np.arange(B)[None, :]

@@ -129,6 +129,80 @@ def fill_missing_from_source(
     return dense, out_r
 
 
+def fill_missing_triplets(
+    triplets: List[Tuple[np.ndarray, np.ndarray, np.ndarray]],
+    rs: List[np.ndarray],
+    panel: HarmonizedPanel,
+) -> Tuple[List[Tuple[np.ndarray, np.ndarray, np.ndarray]], List[np.ndarray]]:
+    """Triplet-level missing-SNP fill (the band-direct analogue of
+    fill_missing_from_source, mirroring the reference's triplet append,
+    src/main.py:223-249): cohort k receives, from each source cohort j, all
+    of j's LD triplets touching k's missing indices assigned to j, plus
+    j's r values there."""
+    K = len(triplets)
+    out_t = [list(t) for t in triplets]
+    out_r = [r.copy() for r in rs]
+    for k in range(K):
+        for j in range(K):
+            if j == k:
+                continue
+            take = panel.missing[k][panel.sources[k][panel.missing[k]] == j]
+            if take.size == 0:
+                continue
+            aj, bj, vj = triplets[j]
+            sel = np.isin(aj, take) | np.isin(bj, take)
+            out_t[k][0] = np.concatenate([out_t[k][0], aj[sel]])
+            out_t[k][1] = np.concatenate([out_t[k][1], bj[sel]])
+            out_t[k][2] = np.concatenate([out_t[k][2], vj[sel]])
+            out_r[k][take] = rs[j][take]
+    return [tuple(t) for t in out_t], out_r
+
+
+def ld_files_to_bands(
+    ld_paths: Sequence[str],
+    rs: List[np.ndarray],
+    panel: HarmonizedPanel,
+    bandwidth: Optional[int] = None,
+    dtype=np.float32,
+) -> Tuple[np.ndarray, List[np.ndarray], int, int]:
+    """Load PLINK .ld files straight into symmetric band storage (K, M, nd)
+    without ever materializing MxM - the biobank-scale ingestion path.
+
+    Returns (bands, filled_rs, bandwidth, dropped_entries).
+    """
+    from sgvamp_tpu import native
+
+    vindex = {rs_: i for i, rs_ in enumerate(panel.variants)}
+    M = panel.M
+    triplets = [load_ld_table(p, vindex) for p in ld_paths]
+    if len(ld_paths) > 1:
+        triplets, rs = fill_missing_triplets(triplets, rs, panel)
+    if bandwidth is None:
+        bandwidth = 0
+        for a, b, _ in triplets:
+            if len(a):
+                got = native.max_bandwidth(a, b)
+                w = got if got is not None else int(np.abs(a - b).max())
+                bandwidth = max(bandwidth, w)
+    bands = np.zeros((len(ld_paths), M, 2 * bandwidth + 1), dtype)
+    dropped = 0
+    for k, (a, b, v) in enumerate(triplets):
+        got = native.triplets_to_band(a, b, v, M, bandwidth, dtype=dtype)
+        if got is not None:
+            bands[k], d = got
+        else:  # pure-Python fallback
+            band = np.zeros((M, 2 * bandwidth + 1), dtype)
+            band[:, bandwidth] = 1.0
+            dmask = np.abs(b - a) <= bandwidth
+            d = int((~dmask).sum())
+            for aa, bb, vv in zip(a[dmask], b[dmask], v[dmask]):
+                band[aa, bandwidth + (bb - aa)] = vv
+                band[bb, bandwidth - (bb - aa)] = vv
+            bands[k] = band
+        dropped += d
+    return bands, rs, bandwidth, dropped
+
+
 # ---------------------------------------------------------------------------
 # true signal
 # ---------------------------------------------------------------------------

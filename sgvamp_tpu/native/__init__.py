@@ -82,6 +82,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float),
         ]
+        lib.ldparse_to_band_f64.restype = ctypes.c_int64
+        lib.ldparse_to_band_f64.argtypes = [
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double),
+        ]
         _lib = lib
         return _lib
 
@@ -129,18 +139,24 @@ def max_bandwidth(rows: np.ndarray, cols: np.ndarray) -> Optional[int]:
 
 
 def triplets_to_band(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
-                     M: int, bw: int) -> Optional[Tuple[np.ndarray, int]]:
-    """Assemble symmetric band storage (M, 2*bw+1) float32 with unit
-    diagonal from one-sided triplets. Returns (band, dropped_count)."""
+                     M: int, bw: int, dtype=np.float32
+                     ) -> Optional[Tuple[np.ndarray, int]]:
+    """Assemble symmetric band storage (M, 2*bw+1) with unit diagonal from
+    one-sided triplets. Returns (band, dropped_count)."""
     lib = get_lib()
     if lib is None:
         return None
     rows = np.ascontiguousarray(rows, np.int64)
     cols = np.ascontiguousarray(cols, np.int64)
     vals = np.ascontiguousarray(vals, np.float64)
-    band = np.zeros((M, 2 * bw + 1), np.float32)
-    dropped = lib.ldparse_to_band(
-        len(rows), _i64p(rows), _i64p(cols), _f64p(vals), M, bw,
-        band.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-    )
+    dtype = np.dtype(dtype)
+    band = np.zeros((M, 2 * bw + 1), dtype)
+    if dtype == np.float64:
+        dropped = lib.ldparse_to_band_f64(
+            len(rows), _i64p(rows), _i64p(cols), _f64p(vals), M, bw, _f64p(band))
+    else:
+        dropped = lib.ldparse_to_band(
+            len(rows), _i64p(rows), _i64p(cols), _f64p(vals), M, bw,
+            band.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
     return band, int(dropped)

@@ -48,6 +48,27 @@ inline int tokenize(char* line, char** toks, int max_toks) {
   return n;
 }
 
+template <typename T>
+int64_t to_band_impl(int64_t n, const int64_t* a, const int64_t* b,
+                     const double* v, int64_t M, int64_t bw, T* band) {
+  const int64_t nd = 2 * bw + 1;
+  // unit diagonal (reference csr assembly adds ones(M), src/main.py:255)
+  for (int64_t i = 0; i < M; ++i) band[i * nd + bw] = T(1);
+  int64_t dropped = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t r0 = a[i], c0 = b[i];
+    int64_t d = c0 - r0;
+    if (d > bw || d < -bw) {
+      ++dropped;
+      continue;
+    }
+    T val = static_cast<T>(v[i]);
+    band[r0 * nd + (bw + d)] = val;       // R[r0, c0]
+    band[c0 * nd + (bw - d)] = val;       // symmetric mirror
+  }
+  return dropped;
+}
+
 }  // namespace
 
 extern "C" {
@@ -152,22 +173,13 @@ int64_t ldparse_max_bandwidth(int64_t n, const int64_t* a, const int64_t* b) {
 
 int64_t ldparse_to_band(int64_t n, const int64_t* a, const int64_t* b,
                         const double* v, int64_t M, int64_t bw, float* band) {
-  const int64_t nd = 2 * bw + 1;
-  // unit diagonal (reference csr assembly adds ones(M), src/main.py:255)
-  for (int64_t i = 0; i < M; ++i) band[i * nd + bw] = 1.0f;
-  int64_t dropped = 0;
-  for (int64_t i = 0; i < n; ++i) {
-    int64_t r0 = a[i], c0 = b[i];
-    int64_t d = c0 - r0;
-    if (d > bw || d < -bw) {
-      ++dropped;
-      continue;
-    }
-    float val = static_cast<float>(v[i]);
-    band[r0 * nd + (bw + d)] = val;       // R[r0, c0]
-    band[c0 * nd + (bw - d)] = val;       // symmetric mirror
-  }
-  return dropped;
+  return to_band_impl(n, a, b, v, M, bw, band);
+}
+
+int64_t ldparse_to_band_f64(int64_t n, const int64_t* a, const int64_t* b,
+                            const double* v, int64_t M, int64_t bw,
+                            double* band) {
+  return to_band_impl(n, a, b, v, M, bw, band);
 }
 
 }  // extern "C"
