@@ -3,15 +3,11 @@ reference's full user workflow (SURVEY 3.1/3.3/3.5) in one process,
 plus checkpoint/resume and the banded-operator path."""
 
 import csv
-import os
-import subprocess
-import sys
 
 import numpy as np
 import pytest
 
 from sgvamp_tpu.cli import main as cli_main
-from sgvamp_tpu.cli import plink2np as cli_plink
 from sgvamp_tpu.cli import plots as cli_plots
 from sgvamp_tpu.cli import simulate as cli_sim
 from sgvamp_tpu.cli import vis_ld as cli_vis
