@@ -178,11 +178,30 @@ def main(argv: Optional[List[str]] = None) -> int:
     ts = time.time()
     B = args.block_size
     all_ld_tables = all(p.endswith(".ld") for p in ld_paths)
-    if args.operator == "banded" and all_ld_tables:
-        # Band-direct ingestion: .ld triplets (native parser) -> symmetric
-        # band storage -> block-banded operator, never materializing MxM.
-        bands, rs_list, bw, dropped = loaders.ld_files_to_bands(
-            ld_paths, rs, panel, args.bandwidth, dtype=np.dtype(dtype))
+    all_sparse = all(p.endswith((".ld", ".npz")) for p in ld_paths)
+    if args.operator == "banded" and all_sparse:
+        # Band-direct ingestion: .ld triplets (native parser) or sparse
+        # .npz -> symmetric band storage -> block-banded operator, never
+        # materializing MxM.
+        dropped = 0
+        if all_ld_tables:
+            bands, rs_list, bw, dropped = loaders.ld_files_to_bands(
+                ld_paths, rs, panel, args.bandwidth, dtype=np.dtype(dtype))
+            rs = np.stack(rs_list)
+        else:
+            band_list, bws = [], []
+            for p in ld_paths:
+                band_k, bw_k, d_k = loaders.csr_to_band(
+                    loaders.load_R(p), args.bandwidth, dtype=np.dtype(dtype))
+                band_list.append(band_k)
+                bws.append(bw_k)
+                dropped += d_k
+            bw = max(bws)
+            bands = np.zeros((K, M, 2 * bw + 1), np.dtype(dtype))
+            for k, band_k in enumerate(band_list):
+                w = (band_k.shape[1] - 1) // 2
+                bands[k, :, bw - w:bw + w + 1] = band_k
+            rs = np.stack(rs)
         if dropped:
             log.info(f"WARNING: {dropped} LD entries outside bandwidth {bw} dropped")
         ops = [BandedLD.from_band(bands[k], block_size=B, s=s, dtype=dtype)
@@ -191,7 +210,6 @@ def main(argv: Optional[List[str]] = None) -> int:
                       s=s, accum_dtype=ops[0].accum_dtype)
         Mp = ops[0].M
         pad = Mp - M
-        rs = np.stack(rs_list)
     else:
         vindex = {rs_: i for i, rs_ in enumerate(panel.variants)}
         Rs = [loaders.load_R(p, vindex) for p in ld_paths]

@@ -129,6 +129,26 @@ def fill_missing_from_source(
     return dense, out_r
 
 
+def csr_to_band(R, bandwidth: Optional[int] = None,
+                dtype=np.float32) -> Tuple[np.ndarray, int, int]:
+    """Convert a scipy sparse (or dense) symmetric matrix to symmetric band
+    storage (M, 2*bw+1) without densifying MxM.
+
+    Returns (band, bandwidth, dropped_entries). Entries outside the chosen
+    bandwidth are dropped (counted); the diagonal is taken from the matrix
+    itself (the reference's CSR carries the unit diagonal explicitly,
+    src/main.py:255).
+    """
+    coo = scipy.sparse.coo_matrix(R)
+    d = coo.col - coo.row
+    if bandwidth is None:
+        bandwidth = int(np.abs(d).max()) if d.size else 0
+    band = np.zeros((R.shape[0], 2 * bandwidth + 1), dtype)
+    keep = np.abs(d) <= bandwidth
+    band[coo.row[keep], bandwidth + d[keep]] = coo.data[keep]
+    return band, bandwidth, int((~keep).sum())
+
+
 def fill_missing_triplets(
     triplets: List[Tuple[np.ndarray, np.ndarray, np.ndarray]],
     rs: List[np.ndarray],

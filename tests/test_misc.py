@@ -1,0 +1,96 @@
+"""Odds and ends: csr_to_band, the opt-in alpha1 clip, CLI mesh flags,
+and the sparse-.npz banded CLI path."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import scipy.sparse
+
+from sgvamp_tpu import PriorState, VampConfig, VampEngine, VampInputs
+from sgvamp_tpu.cli import main as cli_main
+from sgvamp_tpu.core.operators import DenseLD
+from sgvamp_tpu.data import loaders
+from sgvamp_tpu.data.simulate import band_to_dense, simulate_single
+
+
+def test_csr_to_band_roundtrip():
+    rng = np.random.default_rng(0)
+    M = 64
+    R = np.zeros((M, M))
+    np.fill_diagonal(R, 1.0)
+    for d in range(1, 5):
+        v = rng.normal(size=M - d)
+        R[np.arange(M - d), np.arange(d, M)] = v
+        R[np.arange(d, M), np.arange(M - d)] = v
+    band, bw, dropped = loaders.csr_to_band(scipy.sparse.csr_matrix(R),
+                                            dtype=np.float64)
+    assert bw == 4 and dropped == 0
+    np.testing.assert_allclose(band_to_dense(band), R)
+    # forced narrower bandwidth drops entries
+    band2, bw2, dropped2 = loaders.csr_to_band(scipy.sparse.csr_matrix(R),
+                                               bandwidth=2, dtype=np.float64)
+    assert bw2 == 2 and dropped2 == 2 * (M - 3) + 2 * (M - 4)
+
+
+def test_cli_npz_banded_matches_dense(tmp_path):
+    d = simulate_single(1500, 200, h2=0.8, lam=0.1,
+                        rng=np.random.default_rng(0))
+    R_sp = np.where(np.abs(d.R) > 0.03, d.R, 0.0)
+    np.fill_diagonal(R_sp, 1.0)
+    scipy.sparse.save_npz(tmp_path / "R.npz", scipy.sparse.csr_matrix(R_sp))
+    np.save(tmp_path / "r.npy", d.r)
+    outs = {}
+    for op in ["dense", "banded"]:
+        out = tmp_path / op
+        rc = cli_main.main([
+            "--ld-files", str(tmp_path / "R.npz"),
+            "--r-files", str(tmp_path / "r.npy"),
+            "--out-dir", str(out), "--out-name", "t",
+            "--N", "1500", "--M", "200", "--iterations", "3", "--s", "0.2",
+            "--platform", "cpu", "--x64", "1", "--operator", op,
+            "--block-size", "64", "--seed", "3",
+        ])
+        assert rc == 0
+        outs[op] = np.fromfile(out / "t_xhat_it_2.bin", dtype="<f8")
+    np.testing.assert_allclose(outs["banded"], outs["dense"], rtol=1e-8)
+
+
+def test_cli_mesh_flags(tmp_path):
+    d = simulate_single(1000, 128, h2=0.8, lam=0.1,
+                        rng=np.random.default_rng(1))
+    np.save(tmp_path / "R.npy", d.R)
+    np.save(tmp_path / "r.npy", d.r)
+    out = tmp_path / "out"
+    rc = cli_main.main([
+        "--ld-files", str(tmp_path / "R.npy"), "--r-files", str(tmp_path / "r.npy"),
+        "--out-dir", str(out), "--out-name", "t",
+        "--N", "1000", "--M", "128", "--iterations", "2", "--s", "0.1",
+        "--platform", "cpu", "--x64", "1", "--mesh-cohort", "1",
+        "--mesh-shard", "4",
+    ])
+    assert rc == 0
+    assert (out / "t_xhat_it_1.bin").exists()
+
+
+def test_clip_alpha1_optin():
+    """clip_alpha1=True (the reference's *intended* clip, quirks #1) must
+    change nothing when alpha1 is in range, and bound it when not."""
+    d = simulate_single(1000, 100, h2=0.8, lam=0.1,
+                        rng=np.random.default_rng(2))
+    Nt = 1000.0
+    base = dict(dtype="float64", cg_maxit=300, cg_rtol=1e-12)
+    prior = PriorState.create(0.1, [1.0], [0.008 * Nt])
+    inputs = VampInputs(op=DenseLD(mats=jnp.asarray(d.R)[None], s=0.1),
+                        r=jnp.asarray(d.r)[None], a=jnp.asarray([1.0]),
+                        N=jnp.asarray([Nt]))
+    u = (np.random.default_rng(3).integers(0, 2, (3, 1, 100)) * 2 - 1).astype(float)
+    h_off = VampEngine(inputs, VampConfig(**base), prior).run(3, fixed_u=u)
+    h_on = VampEngine(inputs, VampConfig(clip_alpha1=True, **base), prior).run(3, fixed_u=u)
+    a_off = np.asarray([r[0][4] for r in h_off["params"]])
+    a_on = np.asarray([r[0][4] for r in h_on["params"]])
+    assert np.all(a_on >= 1e-5 - 1e-12) and np.all(a_on <= 1 - 1e-5 + 1e-12)
+    # The default run starts with alpha1 ~ a*gam1*E[dxdb] ~ 1e-6 < 1e-5, so
+    # the opt-in clip engages at iteration 0 and the trajectories diverge -
+    # i.e. the reference's dead clip (quirks #1) would NOT have been a
+    # no-op had it worked; default-off replicates the reference.
+    assert not np.allclose(a_on, a_off)
