@@ -345,6 +345,7 @@ class VampEngine:
         callback=None,
         M_out: Optional[int] = None,
         it0: int = 0,
+        abort_on_nonfinite: bool = True,
     ) -> Dict[str, Any]:
         """Run `iterations` VAMP steps with per-iteration host I/O.
 
@@ -356,6 +357,10 @@ class VampEngine:
         M_out: trim vectors to this length in outputs (when the operator
             padded M up to a block multiple).
         it0: iteration offset for file naming/CSV rows when resuming.
+        abort_on_nonfinite: stop the run (with everything produced so far
+            in the history, and history["aborted_at"] set) if the state
+            goes NaN/inf - a failure detector the reference lacks (it
+            would silently write NaN outputs to completion).
         """
         if state is None:
             state = self.init_state(seed)
@@ -374,6 +379,15 @@ class VampEngine:
             xhat1 = np.asarray(aux.xhat1)[:M_out]
             r1_in = np.asarray(aux.r1_in)[:, :M_out]
             self._log_iteration(it, aux)
+            if abort_on_nonfinite and not (
+                np.all(np.isfinite(xhat1)) and np.all(np.isfinite(np.asarray(aux.gam1)))
+            ):
+                logger.info(
+                    f"ERROR: non-finite state at iteration {it}; aborting run "
+                    f"(outputs up to iteration {it - 1} are on disk)"
+                )
+                history["aborted_at"] = it
+                break
             history["xhat1"].append(xhat1)
             history["cg1_iters"].append(np.asarray(aux.cg1_iters))
             history["cg2_iters"].append(np.asarray(aux.cg2_iters))
