@@ -41,7 +41,8 @@ def _simulate(rng, N, M, K, h2=0.8, lam=0.2):
 
 def _run_both(Rs, rs, Ns, iters, seed=0, s=0.05, prior_update="em",
               learn_gamw=True, lmmse_damp=True, L=2,
-              prior_vars=(0.0, 1.0), prior_probs=(0.99, 0.01)):
+              prior_vars=(0.0, 1.0), prior_probs=(0.99, 0.01),
+              update_prior_from=1, em_prior_maxit=100):
     K, M = rs.shape
     Nt = float(np.sum(Ns))
     a = np.asarray(Ns, dtype=np.float64) / Nt
@@ -57,11 +58,13 @@ def _run_both(Rs, rs, Ns, iters, seed=0, s=0.05, prior_update="em",
     ohist = oracle.run(
         iters, u_seq, cg_maxit=2000, cg_rtol=1e-12, learn_gamw=learn_gamw,
         lmmse_damp=lmmse_damp, prior_update=prior_update,
+        update_prior_from=update_prior_from, em_prior_maxit=em_prior_maxit,
     )
 
     cfg = VampConfig(
         cg_maxit=2000, cg_rtol=1e-12, learn_gamw=learn_gamw,
         lmmse_damp=lmmse_damp, prior_update=prior_update, dtype="float64",
+        update_prior_from=update_prior_from, em_prior_maxit=em_prior_maxit,
     )
     pc_sigmas = np.asarray(prior_vars[1:]) * Nt
     prior = PriorState.create(1 - prior_probs[0],
@@ -112,6 +115,23 @@ def test_trajectory_matches_oracle(K, prior_update, learn_gamw, lmmse_damp):
                 grow, orow, rtol=5e-3,
                 err_msg=f"params mismatch at it={it} cohort={k}",
             )
+
+
+@pytest.mark.parametrize("upf,em_maxit", [(3, 100), (1, 2), (0, 100)])
+def test_prior_schedule_knobs_match_oracle(upf, em_maxit):
+    """update_prior_from gating and a capped EM sweep budget must follow
+    the reference's exact schedule (reference sgvamp.py:242-259)."""
+    rng = np.random.default_rng(17)
+    N, M, iters = 800, 80, 5
+    Rs, rs, beta = _simulate(rng, N, M, 1)
+    Ns = np.asarray([float(N)])
+    ohist, hist = _run_both(Rs, rs, Ns, iters, update_prior_from=upf,
+                            em_prior_maxit=em_maxit)
+    for it in range(iters):
+        o, g = ohist["xhat1"][it], hist["xhat1"][it]
+        np.testing.assert_allclose(g, o, atol=TRAJ_RTOL * np.linalg.norm(o))
+        np.testing.assert_allclose(float(hist["params"][it][0][6]),
+                                   ohist["params"][it][0][6], rtol=1e-8)
 
 
 def test_trajectory_matches_oracle_mixture_l3():
