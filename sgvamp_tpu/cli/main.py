@@ -292,7 +292,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     try:
         if bool(int(args.fused)):
             final_state, aux = engine.run_scan(iterations)
-            history = {"xhat1": [np.asarray(aux.xhat1[i]) for i in range(iterations)]}
+            if writer is not None:
+                history = engine.write_scan_outputs(aux, writer, Nt=Nt, x0=x0,
+                                                    M_out=M)
+            else:
+                history = {"xhat1": [np.asarray(aux.xhat1[i])[:M]
+                                     for i in range(iterations)]}
         else:
             cb = None
             if ckpt is not None:

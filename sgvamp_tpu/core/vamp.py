@@ -466,3 +466,42 @@ class VampEngine:
             return jax.lax.scan(body, s0, None, length=iterations)
 
         return scan_fn(state, self.inputs)
+
+    def write_scan_outputs(
+        self,
+        aux: StepAux,
+        writer: Any,
+        Nt: Optional[float] = None,
+        x0: Optional[np.ndarray] = None,
+        M_out: Optional[int] = None,
+        it0: int = 0,
+    ) -> Dict[str, Any]:
+        """Emit reference-format outputs from a run_scan's stacked aux, so
+        fused runs produce the same files as the host loop (post-hoc)."""
+        iters = aux.xhat1.shape[0]
+        K = aux.r1_in.shape[1]
+        scale = 1.0 / np.sqrt(Nt) if Nt else 1.0
+        x0v = None if x0 is None else np.asarray(x0).squeeze()
+        history: Dict[str, Any] = {"xhat1": [], "alignment": [], "l2": []}
+        for rel_it in range(iters):
+            it = it0 + rel_it
+            xhat1 = np.asarray(aux.xhat1[rel_it])[:M_out]
+            history["xhat1"].append(xhat1)
+            writer.write_xhat(it, xhat1 * scale)
+            lam = float(aux.lam[rel_it])
+            for k in range(K):
+                writer.write_r1(it, np.asarray(aux.r1_in[rel_it, k])[:M_out] * scale,
+                                k + 1)
+                writer.write_params([
+                    it, float(aux.gamw[rel_it, k]), float(aux.gam1[rel_it, k]),
+                    float(aux.gam2[rel_it, k]), float(aux.alpha1[rel_it, k]),
+                    float(aux.alpha2[rel_it, k]), lam,
+                ], k)
+            if x0v is not None:
+                nx, n0 = np.linalg.norm(xhat1), np.linalg.norm(x0v)
+                alignment = float(np.inner(xhat1, x0v) / (nx * n0))
+                l2 = float(np.linalg.norm(xhat1 - x0v) / n0)
+                history["alignment"].append(alignment)
+                history["l2"].append(l2)
+                writer.write_metrics([it, alignment, l2])
+        return history

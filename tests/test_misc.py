@@ -94,3 +94,28 @@ def test_clip_alpha1_optin():
     # i.e. the reference's dead clip (quirks #1) would NOT have been a
     # no-op had it worked; default-off replicates the reference.
     assert not np.allclose(a_on, a_off)
+
+
+def test_cli_fused_writes_reference_outputs(tmp_path):
+    """--fused 1 must now emit the same file set as the host loop."""
+    d = simulate_single(1000, 128, h2=0.8, lam=0.1,
+                        rng=np.random.default_rng(4))
+    np.save(tmp_path / "R.npy", d.R)
+    np.save(tmp_path / "r.npy", d.r)
+    np.save(tmp_path / "bet.npy", d.beta.reshape(-1, 1))
+    out = tmp_path / "out"
+    rc = cli_main.main([
+        "--ld-files", str(tmp_path / "R.npy"), "--r-files", str(tmp_path / "r.npy"),
+        "--true-signal-file", str(tmp_path / "bet.npy"),
+        "--out-dir", str(out), "--out-name", "t",
+        "--N", "1000", "--M", "128", "--iterations", "3", "--s", "0.1",
+        "--platform", "cpu", "--x64", "1", "--fused", "1",
+    ])
+    assert rc == 0
+    import csv as _csv
+    rows = list(_csv.reader(open(out / "t_cohort_1.csv"), delimiter="\t"))
+    assert len(rows) == 4
+    mrows = list(_csv.reader(open(out / "t_metrics.csv"), delimiter="\t"))
+    assert len(mrows) == 4
+    assert (out / "t_xhat_it_2.bin").exists()
+    assert (out / "t_r1_cohort_1_it_0.bin").exists()
