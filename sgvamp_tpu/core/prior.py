@@ -30,6 +30,9 @@ class PriorState:
     mle_gam: cached Lagrange multiplier warm start for the MLE solve
             (reference caches it on self.gam, src/sgvamp.py:175-178,194).
     mle_gam_valid: whether mle_gam holds a previous solution.
+    mle_last_ok: whether the most recent MLE update was accepted (False
+            right after a reject-and-skip; used for host-side logging of
+            the reference's "No prior update!" warnings, sgvamp.py:182-189).
     """
 
     lam: Array
@@ -37,6 +40,7 @@ class PriorState:
     sigmas: Array
     mle_gam: Array
     mle_gam_valid: Array
+    mle_last_ok: Array
 
     @staticmethod
     def create(lam: float, omegas, sigmas, dtype=None) -> "PriorState":
@@ -49,6 +53,7 @@ class PriorState:
             sigmas=jnp.asarray(sigmas, dtype),
             mle_gam=jnp.asarray(1.0, dtype),
             mle_gam_valid=jnp.asarray(False),
+            mle_last_ok=jnp.asarray(True),
         )
 
 
@@ -283,4 +288,5 @@ def mle_update(
         sigmas=prior.sigmas,
         mle_gam=jnp.where(ok, new_gam, prior.mle_gam),
         mle_gam_valid=prior.mle_gam_valid | ok,
+        mle_last_ok=ok,
     )

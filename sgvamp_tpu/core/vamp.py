@@ -97,6 +97,7 @@ class StepAux(NamedTuple):
     cg2_converged: Array
     em_sweeps: Array    # scalar int32 (0 when EM not run)
     em_rel_err: Array   # scalar
+    mle_ok: Array       # bool: last MLE update accepted (True when unused)
 
 
 def init_state(inputs: VampInputs, cfg: VampConfig, prior: PriorState,
@@ -285,6 +286,7 @@ def vamp_step(
         cg2_converged=cg.converged[K:],
         em_sweeps=em_sweeps,
         em_rel_err=em_rel_err,
+        mle_ok=prior.mle_last_ok,
     )
     return new_state, aux
 
@@ -448,6 +450,10 @@ class VampEngine:
                 f"... prior-learning EM algorithm performed {int(aux.em_sweeps)} steps "
                 f"and had final relative error = {float(aux.em_rel_err):0.9f}"
             )
+        elif self.cfg.prior_update == "mle" and not bool(aux.mle_ok):
+            # reference logs this on fsolve failure / negative weights
+            # (src/sgvamp.py:184,188)
+            logger.info("WARNING: MLE solve not accepted. No prior update!")
 
     def run_scan(
         self,
