@@ -79,12 +79,16 @@ def shard_inputs(inputs, mesh: Mesh):
     op = jax.tree_util.tree_map(
         lambda x: _put(x, mesh, spec_for(x.shape, mesh)), inputs.op
     )
+    mask = inputs.mask
+    if mask is not None:
+        mask = _put(mask, mesh, P(SHARD_AXIS))
     return dataclasses.replace(
         inputs,
         op=op,
         r=_put(inputs.r, mesh, P(COHORT_AXIS, SHARD_AXIS)),
         a=_put(inputs.a, mesh, P()),
         N=_put(inputs.N, mesh, P()),
+        mask=mask,
     )
 
 

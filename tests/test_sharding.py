@@ -61,6 +61,32 @@ def test_sharded_banded_matches_unsharded():
                                    rtol=1e-11, atol=1e-13)
 
 
+def test_sharded_banded_with_mask_matches_unsharded():
+    """Padded banded operator + validity mask under a mesh: padded block
+    rows shard cleanly and masked reductions stay exact."""
+    rng = np.random.default_rng(4)
+    N, M, lam, h2 = 20000, 380, 0.1, 0.7  # pads to 384 = 6 blocks of 64
+    band, r, x0 = simulate_ld_band(N, M, bandwidth=40, rng=rng,
+                                   dtype=np.float64, h2=h2, lam=lam)
+    op = BandedLD.from_band(band, block_size=64)
+    Mp = op.M
+    mask = np.zeros(Mp)
+    mask[:M] = 1.0
+    rp = np.zeros(Mp)
+    rp[:M] = r
+    cfg = VampConfig(prior_update="em", dtype="float64", cg_maxit=300,
+                     cg_rtol=1e-10)
+    prior = PriorState.create(lam, [1.0], [h2 / int(M * lam) * N])
+    inputs = VampInputs(op=op, r=jnp.asarray(rp)[None], a=jnp.asarray([1.0]),
+                        N=jnp.asarray([float(N)]), mask=jnp.asarray(mask))
+    ref = VampEngine(inputs, cfg, prior).run(3, seed=8, M_out=M)
+    mesh = make_mesh(1, 2)
+    got = VampEngine(inputs, cfg, prior, mesh=mesh).run(3, seed=8, M_out=M)
+    for it in range(3):
+        np.testing.assert_allclose(got["xhat1"][it], ref["xhat1"][it],
+                                   rtol=1e-11, atol=1e-13)
+
+
 def test_graft_entry_and_dryrun():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as g
