@@ -63,6 +63,10 @@ class VampConfig:
     """
 
     rho: float = 0.5                      # damping factor
+    # Optional damping schedule (beyond the reference's fixed rho): anneal
+    # linearly from rho to rho_final over rho_anneal_iters iterations.
+    rho_final: Optional[float] = None
+    rho_anneal_iters: int = 0
     cg_maxit: int = 500                   # max CG iterations per solve
     cg_rtol: float = 1e-5                 # scipy.sparse.linalg.cg default rtol
     cg_atol: float = 0.0                  # scipy.sparse.linalg.cg default atol

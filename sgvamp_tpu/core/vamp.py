@@ -177,7 +177,11 @@ def vamp_step(
     # ---- Denoising (reference :266-296) ----
     b, A, c = combine_cohorts(r1s, gam1s, inputs.a)
     xhat1_new, dxdb = posterior_mean_and_slope(b, A, prior.lam, prior.omegas, prior.sigmas)
-    rho = cfg.rho
+    if cfg.rho_final is not None and cfg.rho_anneal_iters > 0:
+        frac = jnp.minimum(it.astype(cfg.jnp_dtype) / cfg.rho_anneal_iters, 1.0)
+        rho = cfg.rho + (cfg.rho_final - cfg.rho) * frac
+    else:
+        rho = cfg.rho
     xhat1 = jnp.where(it > 0, rho * xhat1_new + (1 - rho) * state.xhat1, xhat1_new)
 
     # alpha1_k = mean_j d xhat_j / d r1_kj = c_k * mean_j d xhat_j / d b_j

@@ -119,3 +119,43 @@ def test_cli_fused_writes_reference_outputs(tmp_path):
     assert len(mrows) == 4
     assert (out / "t_xhat_it_2.bin").exists()
     assert (out / "t_r1_cohort_1_it_0.bin").exists()
+
+
+def test_rho_anneal_schedule():
+    """rho_final annealing: iteration 0 uses rho (no damping applies then
+    anyway for xhat1), and by rho_anneal_iters the damping equals
+    rho_final; equal endpoints reduce to the fixed-rho run."""
+    d = simulate_single(800, 64, h2=0.8, lam=0.1, rng=np.random.default_rng(5))
+    Nt = 800.0
+    prior = PriorState.create(0.1, [1.0], [0.01 * Nt])
+    inputs = VampInputs(op=DenseLD(mats=jnp.asarray(d.R)[None], s=0.1),
+                        r=jnp.asarray(d.r)[None], a=jnp.asarray([1.0]),
+                        N=jnp.asarray([Nt]))
+    u = (np.random.default_rng(6).integers(0, 2, (4, 1, 64)) * 2 - 1).astype(float)
+    base = dict(dtype="float64", cg_maxit=200, cg_rtol=1e-12)
+    fixed = VampEngine(inputs, VampConfig(rho=0.5, **base), prior).run(4, fixed_u=u)
+    same = VampEngine(inputs, VampConfig(rho=0.5, rho_final=0.5,
+                                         rho_anneal_iters=2, **base),
+                      prior).run(4, fixed_u=u)
+    annealed = VampEngine(inputs, VampConfig(rho=0.9, rho_final=0.2,
+                                             rho_anneal_iters=3, **base),
+                          prior).run(4, fixed_u=u)
+    for it in range(4):
+        np.testing.assert_allclose(same["xhat1"][it], fixed["xhat1"][it],
+                                   rtol=1e-12)
+    assert not np.allclose(annealed["xhat1"][-1], fixed["xhat1"][-1])
+
+
+def test_phase_timers():
+    from sgvamp_tpu.utils.profiling import PhaseTimers
+    import time as _time
+    t = PhaseTimers()
+    with t.phase("a"):
+        _time.sleep(0.01)
+    with t.phase("a"):
+        pass
+    with t.phase("b"):
+        pass
+    assert t.counts["a"] == 2 and t.counts["b"] == 1
+    assert t.totals["a"] >= 0.01
+    assert "a: " in t.report() and "2 calls" in t.report()
