@@ -21,12 +21,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
-logger = logging.getLogger("sgvamp")
-
 from sgvamp_tpu.config import VampConfig
 from sgvamp_tpu.core.cg import cg_batched
 from sgvamp_tpu.core.denoiser import combine_cohorts, posterior_mean_and_slope
 from sgvamp_tpu.core.prior import PriorState, em_loop, mle_update
+
+logger = logging.getLogger("sgvamp")
 
 
 @jax.tree_util.register_dataclass
