@@ -159,3 +159,16 @@ def test_phase_timers():
     assert t.counts["a"] == 2 and t.counts["b"] == 1
     assert t.totals["a"] >= 0.01
     assert "a: " in t.report() and "2 calls" in t.report()
+
+
+def test_simulate_phen_requires_bed_reader(tmp_path):
+    """The .bed simulator is dependency-gated with a clear error
+    (reference simulation/sim_phen.py:5 hard-imports bed_reader)."""
+    from sgvamp_tpu.data.simulate import simulate_from_bed
+    try:
+        import bed_reader  # noqa: F401
+        pytest.skip("bed_reader installed; gating not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="bed_reader"):
+        simulate_from_bed(str(tmp_path / "x.bed"), M=10)
