@@ -109,6 +109,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     from sgvamp_tpu.io.writers import OutputWriter
 
     # -- parse values with reference semantics (src/main.py:53-97) --
+    for flag, val in [("--ld-files", args.ld_files), ("--r-files", args.r_files),
+                      ("--N", args.N), ("--M", args.M)]:
+        if not val:
+            raise SystemExit(f"{flag} is required")
     K = int(args.K)
     L = int(args.L)
     iterations = int(args.iterations)
