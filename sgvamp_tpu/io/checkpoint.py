@@ -62,7 +62,13 @@ class CheckpointManager:
         it, path = existing[-1]
         with np.load(path) as data:
             leaves = [data[f"leaf_{i}"] for i in range(len(data.files))]
-        _, treedef = jax.tree_util.tree_flatten(template)
+        t_leaves, treedef = jax.tree_util.tree_flatten(template)
+        if len(leaves) != len(t_leaves):
+            raise ValueError(
+                f"checkpoint {path} has {len(leaves)} state leaves but the "
+                f"current configuration expects {len(t_leaves)} - it was "
+                "written by an incompatible version/configuration"
+            )
         state = jax.tree_util.tree_unflatten(treedef, leaves)
         # Restore on-device with the template's dtypes/shardings.
         state = jax.tree_util.tree_map(
