@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--bandwidth", help="Banded operator half bandwidth (elements); auto if omitted",
                    type=int, default=None)
     g.add_argument("--cg-rtol", help="CG relative tolerance", type=float, default=1e-5)
+    g.add_argument("--rho-final", help="Anneal damping linearly to this value",
+                   type=float, default=None)
+    g.add_argument("--rho-anneal-iters", help="Iterations over which rho anneals",
+                   type=int, default=0)
     g.add_argument("--seed", help="PRNG seed for Hutchinson probes", type=int, default=0)
     g.add_argument("--fused", help="Run all iterations as one fused scan (1/0, no per-iteration output files)",
                    default=0)
@@ -251,7 +255,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         rho=rho, cg_maxit=cg_maxit, cg_rtol=args.cg_rtol, learn_gamw=learn_gamw,
         lmmse_damp=lmmse_damp, prior_update=prior_update,
         update_prior_from=update_prior_from, em_prior_maxit=em_prior_maxit,
-        dtype=dtype,
+        dtype=dtype, rho_final=args.rho_final,
+        rho_anneal_iters=args.rho_anneal_iters,
     )
     pc = PriorConfig(vars_=tuple(prior_vars), probs=tuple(prior_probs))
     prior = PriorState.create(pc.init_lam(), pc.init_omegas(), pc.scaled_sigmas(Nt))
