@@ -29,9 +29,11 @@ def _multi_problem(K=2, N=800, M=256, dtype="float64"):
     return inputs, cfg, prior, ds[0].beta * np.sqrt(N), Nt
 
 
-@pytest.mark.parametrize("mesh_shape", [(2, 4), (1, 8), (2, 1)])
-def test_sharded_dense_matches_unsharded(mesh_shape):
-    inputs, cfg, prior, x0, Nt = _multi_problem(K=2)
+@pytest.mark.parametrize("K,mesh_shape", [
+    (2, (2, 4)), (2, (1, 8)), (2, (2, 1)), (4, (4, 2)),
+])
+def test_sharded_dense_matches_unsharded(K, mesh_shape):
+    inputs, cfg, prior, x0, Nt = _multi_problem(K=K)
     ref = VampEngine(inputs, cfg, prior).run(3, seed=5)
     mesh = make_mesh(*mesh_shape)
     got = VampEngine(inputs, cfg, prior, mesh=mesh).run(3, seed=5)
