@@ -236,8 +236,28 @@ def _params():
 N_SAMPLES, LAM, H2 = 300000, 0.01, 0.7
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: cuts the step's first-compile cost
+    (minutes on the remote compile service) to seconds on any rerun with
+    unchanged shapes. Must run before the backend initializes."""
+    if os.environ.get("SGVAMP_COMPILE_CACHE", "1") != "1":
+        return
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except (OSError, AttributeError):
+        pass
+
+
 def child_main(mode):
     """Subprocess entry: run one timing mode, print one JSON line."""
+    _enable_compile_cache()
     M, bandwidth, block_size, cg_maxit, iters = _params()
     band, r, x0 = build_problem(M, bandwidth, N_SAMPLES, LAM, H2)
     if mode == "step":

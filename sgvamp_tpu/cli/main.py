@@ -63,6 +63,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--platform", help="JAX platform override (tpu/cpu)", default=None)
     g.add_argument("--x64", help="Enable float64 (1/0); default on for CPU, off for TPU", default=None)
     g.add_argument("--dtype", help="Compute dtype: float32/float64/bfloat16", default=None)
+    g.add_argument("--ld-dtype", help="LD block storage dtype (e.g. bfloat16 halves HBM "
+                   "footprint; matvec still accumulates in float32); defaults to --dtype",
+                   default=None)
     g.add_argument("--mesh-cohort", help="Mesh size over the cohort axis", type=int, default=1)
     g.add_argument("--mesh-shard", help="Mesh size over the marker-shard axis", type=int, default=None)
     g.add_argument("--operator", help="LD operator: dense or banded", default="dense",
@@ -101,6 +104,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     if want_x64:
         jax.config.update("jax_enable_x64", True)
     dtype = args.dtype or ("float64" if want_x64 else "float32")
+    ld_dtype = args.ld_dtype or dtype
 
     import jax.numpy as jnp
 
@@ -194,25 +198,25 @@ def main(argv: Optional[List[str]] = None) -> int:
         dropped = 0
         if all_ld_tables:
             bands, rs_list, bw, dropped = loaders.ld_files_to_bands(
-                ld_paths, rs, panel, args.bandwidth, dtype=np.dtype(dtype))
+                ld_paths, rs, panel, args.bandwidth, dtype=np.dtype(ld_dtype))
             rs = np.stack(rs_list)
         else:
             band_list, bws = [], []
             for p in ld_paths:
                 band_k, bw_k, d_k = loaders.csr_to_band(
-                    loaders.load_R(p), args.bandwidth, dtype=np.dtype(dtype))
+                    loaders.load_R(p), args.bandwidth, dtype=np.dtype(ld_dtype))
                 band_list.append(band_k)
                 bws.append(bw_k)
                 dropped += d_k
             bw = max(bws)
-            bands = np.zeros((K, M, 2 * bw + 1), np.dtype(dtype))
+            bands = np.zeros((K, M, 2 * bw + 1), np.dtype(ld_dtype))
             for k, band_k in enumerate(band_list):
                 w = (band_k.shape[1] - 1) // 2
                 bands[k, :, bw - w:bw + w + 1] = band_k
             rs = np.stack(rs)
         if dropped:
             log.info(f"WARNING: {dropped} LD entries outside bandwidth {bw} dropped")
-        ops = [BandedLD.from_band(bands[k], block_size=B, s=s, dtype=dtype)
+        ops = [BandedLD.from_band(bands[k], block_size=B, s=s, dtype=ld_dtype)
                for k in range(K)]
         op = BandedLD(blocks=jnp.concatenate([o.blocks for o in ops], axis=0),
                       s=s, accum_dtype=ops[0].accum_dtype)
@@ -236,10 +240,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                     dense[:, M + i, M + i] = 1.0
             hb = -(-(bw + B - 1) // B)
             op = BandedLD.from_dense(dense, block_size=B, bandwidth_blocks=hb,
-                                     s=s, dtype=dtype)
+                                     s=s, dtype=np.dtype(ld_dtype))
             Mp = dense.shape[-1]
         else:
-            op = DenseLD(mats=jnp.asarray(dense, dtype), s=s)
+            op = DenseLD(mats=jnp.asarray(dense, ld_dtype), s=s,
+                         accum_dtype="" if ld_dtype == "float64" else "float32")
             pad, Mp = 0, M
     log.info(f"Loaded {K} LD matrices of shape ({M}, {M})")
     log.debug(f"Loading R matrices took {time.time() - ts:.3f} seconds\n")

@@ -215,7 +215,8 @@ class BandedLD:
                 j = i + d - hb
                 if 0 <= j < nb:
                     out[:, i, d] = mats[:, i * B:(i + 1) * B, j * B:(j + 1) * B]
-        return BandedLD(blocks=jnp.asarray(out), s=s)
+        return BandedLD(blocks=jnp.asarray(out), s=s,
+                        accum_dtype="" if out.dtype == np.float64 else "float32")
 
 
 def _shift_blocks(xb: Array, d: int) -> Array:

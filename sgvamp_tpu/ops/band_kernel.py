@@ -32,49 +32,64 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _sym_band_kernel(ub_ref, x_ref, y_ref, *, hb: int, B: int, nb: int):
+def _sym_band_kernel(ub_ref, x_ref, y_ref, *, hb: int, B: int, nb: int, G: int):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
         y_ref[:, :] = jnp.zeros_like(y_ref)
 
-    x_i = x_ref[:, pl.ds(i * B, B)]  # (S, B)
     acc_dt = jnp.promote_types(x_ref.dtype, jnp.float32)
-    for d in range(hb + 1):
-        Ud = ub_ref[0, d]  # (B, B) = R[block i, block i+d]
+    # G block rows per grid step amortize per-step dispatch/DMA-setup
+    # overhead (the dominant cost at B<=256 with ~0.5MB panels).
+    for g in range(G):
+        row = i * G + g
+        x_i = x_ref[:, pl.ds(row * B, B)]  # (S, B)
+        for d in range(hb + 1):
+            Ud = ub_ref[g, d]  # (B, B) = R[block row, block row+d]
 
-        if d == 0:
-            y_ref[:, pl.ds(i * B, B)] += jnp.dot(
-                x_i, Ud.T, preferred_element_type=acc_dt
-            )
-        else:
-            @pl.when(i + d < nb)
-            def _():
-                j = i + d
-                x_j = x_ref[:, pl.ds(j * B, B)]
-                # y_i[s, p] += sum_q Ud[p, q] x_j[s, q]
-                y_ref[:, pl.ds(i * B, B)] += jnp.dot(
-                    x_j, Ud.T, preferred_element_type=acc_dt
+            if d == 0:
+                y_ref[:, pl.ds(row * B, B)] += jnp.dot(
+                    x_i, Ud.T, preferred_element_type=acc_dt
                 )
-                # y_j[s, q] += sum_p Ud[p, q] x_i[s, p]
-                y_ref[:, pl.ds(j * B, B)] += jnp.dot(
-                    x_i, Ud, preferred_element_type=acc_dt
-                )
+            else:
+                @pl.when(row + d < nb)
+                def _(row=row, Ud=Ud, x_i=x_i):
+                    j = row + d
+                    x_j = x_ref[:, pl.ds(j * B, B)]
+                    # y_row[s, p] += sum_q Ud[p, q] x_j[s, q]
+                    y_ref[:, pl.ds(row * B, B)] += jnp.dot(
+                        x_j, Ud.T, preferred_element_type=acc_dt
+                    )
+                    # y_j[s, q] += sum_p Ud[p, q] x_row[s, p]
+                    y_ref[:, pl.ds(j * B, B)] += jnp.dot(
+                        x_i, Ud, preferred_element_type=acc_dt
+                    )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _sym_band_matvec(ub: Array, x: Array, interpret: bool = False) -> Array:
+def _pick_rows_per_step(nb: int) -> int:
+    for g in (8, 4, 2):
+        if nb % g == 0:
+            return g
+    return 1
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "rows_per_step"))
+def _sym_band_matvec(ub: Array, x: Array, interpret: bool = False,
+                     rows_per_step: int = 0) -> Array:
     """y = R @ x from upper blocks. ub: (nb, hb+1, B, B); x: (S, M)."""
     nb, hbp1, B, _ = ub.shape
     hb = hbp1 - 1
     S, M = x.shape
-    kernel = functools.partial(_sym_band_kernel, hb=hb, B=B, nb=nb)
+    G = rows_per_step or _pick_rows_per_step(nb)
+    if nb % G:
+        raise ValueError(f"rows_per_step={G} must divide nb={nb}")
+    kernel = functools.partial(_sym_band_kernel, hb=hb, B=B, nb=nb, G=G)
     return pl.pallas_call(
         kernel,
-        grid=(nb,),
+        grid=(nb // G,),
         in_specs=[
-            pl.BlockSpec((1, hbp1, B, B), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((G, hbp1, B, B), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((S, M), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -101,6 +116,7 @@ class SymBandedLD:
 
     upper: Array
     s: float = dataclasses.field(default=0.0, metadata=dict(static=True))
+    rows_per_step: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def K(self) -> int:
@@ -127,7 +143,8 @@ class SymBandedLD:
         S = x.shape[0] // K
         interpret = jax.default_backend() != "tpu"
         xs = x.reshape(S, K, self.M).transpose(1, 0, 2)  # (K, S, M)
-        y = jax.vmap(lambda ub, xv: _sym_band_matvec(ub, xv, interpret=interpret))(
+        y = jax.vmap(lambda ub, xv: _sym_band_matvec(
+            ub, xv, interpret=interpret, rows_per_step=self.rows_per_step))(
             self.upper, xs.astype(self.upper.dtype)
         )
         y = y.transpose(1, 0, 2).reshape(x.shape).astype(x.dtype)

@@ -74,6 +74,28 @@ def test_cli_banded_operator_matches_dense(sim_dir, tmp_path):
     np.testing.assert_allclose(outs["banded"], outs["dense"], rtol=1e-8, atol=1e-12)
 
 
+def test_cli_ld_dtype_bf16(sim_dir, tmp_path):
+    """--ld-dtype bfloat16 stores LD blocks at half width (f32 accumulate);
+    the run must stay close to the float32 run on an easy problem."""
+    aligns = {}
+    for name, extra in [("f32", []), ("bf16", ["--ld-dtype", "bfloat16"])]:
+        out = tmp_path / name
+        rc = cli_main.main([
+            "--ld-files", str(sim_dir / "sim_R.npy"),
+            "--r-files", str(sim_dir / "sim_r.npy"),
+            "--true-signal-file", str(sim_dir / "sim_bet.npy"),
+            "--out-dir", str(out), "--out-name", "t",
+            "--N", "1500", "--M", "200", "--iterations", "5",
+            "--s", "0.1", "--platform", "cpu", "--dtype", "float32",
+            "--x64", "0", "--operator", "banded", "--block-size", "64",
+            "--bandwidth", "200", "--seed", "7",
+        ] + extra)
+        assert rc == 0
+        aligns[name] = float(_read_csv(out / "t_metrics.csv")[-1][1])
+    assert aligns["bf16"] > 0.9
+    assert abs(aligns["bf16"] - aligns["f32"]) < 0.02
+
+
 def test_cli_multi_cohort(tmp_path):
     d = tmp_path / "simk"
     d.mkdir()
