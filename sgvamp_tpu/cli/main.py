@@ -84,6 +84,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--checkpoint-dir", help="Directory for checkpoint/resume state", default=None)
     g.add_argument("--resume", help="Resume from the latest checkpoint (1/0)", default=0)
     g.add_argument("--profile-dir", help="Write a jax.profiler trace of the run here", default=None)
+    g.add_argument("--compile-cache-dir", default="~/.cache/sgvamp_tpu/xla",
+                   help="Persistent XLA compilation cache directory; '' disables. "
+                   "Cuts repeat-run compile time from minutes to seconds")
     return p
 
 
@@ -99,6 +102,15 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.compile_cache_dir:
+        cache_dir = os.path.expanduser(args.compile_cache_dir)
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        except (OSError, AttributeError):
+            pass
     platform = jax.devices()[0].platform
     want_x64 = (platform == "cpu") if args.x64 is None else bool(int(args.x64))
     if want_x64:
