@@ -255,8 +255,23 @@ def _enable_compile_cache():
         pass
 
 
+def _apply_platform_override():
+    """SGVAMP_BENCH_PLATFORM=cpu forces the child onto CPU (the JAX_PLATFORMS
+    env var is swallowed by this environment's site hooks, so jax.config is
+    the only reliable switch)."""
+    plat = os.environ.get("SGVAMP_BENCH_PLATFORM")
+    if plat:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", plat)
+        except RuntimeError:
+            pass
+
+
 def child_main(mode):
     """Subprocess entry: run one timing mode, print one JSON line."""
+    _apply_platform_override()
     _enable_compile_cache()
     M, bandwidth, block_size, cg_maxit, iters = _params()
     band, r, x0 = build_problem(M, bandwidth, N_SAMPLES, LAM, H2)

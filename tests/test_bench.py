@@ -1,0 +1,30 @@
+"""bench.py smoke tests: the driver runs bench.py at round end, so its
+child protocol must stay healthy. Runs the step child at the small size on
+CPU (SGVAMP_BENCH_PLATFORM forces the platform; the JAX_PLATFORMS env var
+is swallowed by this environment)."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_step_child_small_cpu(tmp_path):
+    env = dict(os.environ)
+    env.update(
+        SGVAMP_BENCH_CHILD="step",
+        SGVAMP_BENCH_SIZE="small",
+        SGVAMP_BENCH_PLATFORM="cpu",
+        SGVAMP_COMPILE_CACHE="0",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=420, cwd=REPO,
+    )
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    assert lines, f"no JSON from bench child: {out.stderr[-500:]}"
+    got = json.loads(lines[-1])
+    assert got["finite"] is True
+    assert got["iter_s"] > 0
