@@ -44,6 +44,20 @@ def test_sharded_dense_matches_unsharded(K, mesh_shape):
                                    np.asarray(ref["params"][it]), rtol=1e-9)
 
 
+def test_sharded_mle_prior_matches_unsharded():
+    """MLE prior learning (Newton on the KKT residual) under a mesh: the
+    per-iteration mixture weights and trajectories must match unsharded."""
+    inputs, cfg, prior, x0, Nt = _multi_problem(K=2)
+    cfg = VampConfig(**{**cfg.__dict__, "prior_update": "mle"})
+    ref = VampEngine(inputs, cfg, prior).run(3, seed=5)
+    got = VampEngine(inputs, cfg, prior, mesh=make_mesh(2, 4)).run(3, seed=5)
+    for it in range(3):
+        np.testing.assert_allclose(got["xhat1"][it], ref["xhat1"][it],
+                                   rtol=1e-11, atol=1e-13)
+        np.testing.assert_allclose(np.asarray(got["params"][it]),
+                                   np.asarray(ref["params"][it]), rtol=1e-9)
+
+
 def test_sharded_banded_matches_unsharded():
     rng = np.random.default_rng(1)
     N, M, lam, h2 = 20000, 512, 0.1, 0.7
