@@ -58,7 +58,8 @@ def _setup_tpu(band, r, N, lam, h2, cg_maxit, block_size):
     M = r.shape[0]
     cm = max(int(M * lam), 1)
     _stage("packing blocks + device transfer")
-    op = BandedLD.from_band(band, block_size=block_size)
+    ld_dtype = os.environ.get("SGVAMP_BENCH_LD_DTYPE", "float32")
+    op = BandedLD.from_band(band, block_size=block_size, dtype=ld_dtype)
     jax.block_until_ready(op.blocks)
     Mp = op.M
     dt = jnp.float32

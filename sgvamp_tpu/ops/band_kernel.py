@@ -67,9 +67,16 @@ def _sym_band_kernel(ub_ref, x_ref, y_ref, *, hb: int, B: int, nb: int, G: int):
                     )
 
 
-def _pick_rows_per_step(nb: int) -> int:
+_VMEM_BUDGET = 14 << 20  # stay under the ~16MiB scoped-vmem limit with slack
+
+
+def _pick_rows_per_step(nb: int, panel_bytes_per_row: int,
+                        resident_bytes: int) -> int:
+    """Largest divisor of nb whose double-buffered panel fits VMEM next to
+    the resident x/y vectors (observed hard limit: 16MiB scoped vmem)."""
+    fit = max(1, (_VMEM_BUDGET - resident_bytes) // (2 * panel_bytes_per_row))
     for g in (8, 4, 2):
-        if nb % g == 0:
+        if g <= fit and nb % g == 0:
             return g
     return 1
 
@@ -77,11 +84,18 @@ def _pick_rows_per_step(nb: int) -> int:
 @functools.partial(jax.jit, static_argnames=("interpret", "rows_per_step"))
 def _sym_band_matvec(ub: Array, x: Array, interpret: bool = False,
                      rows_per_step: int = 0) -> Array:
-    """y = R @ x from upper blocks. ub: (nb, hb+1, B, B); x: (S, M)."""
+    """y = R @ x from upper blocks. ub: (nb, hb+1, B, B); x: (S, M).
+
+    y accumulates in (at least) float32 regardless of storage dtype; the
+    caller casts back if it wants narrower outputs.
+    """
     nb, hbp1, B, _ = ub.shape
     hb = hbp1 - 1
     S, M = x.shape
-    G = rows_per_step or _pick_rows_per_step(nb)
+    out_dt = jnp.promote_types(x.dtype, jnp.float32)
+    panel_row = hbp1 * B * B * ub.dtype.itemsize
+    resident = S * M * (x.dtype.itemsize + jnp.dtype(out_dt).itemsize)
+    G = rows_per_step or _pick_rows_per_step(nb, panel_row, resident)
     if nb % G:
         raise ValueError(f"rows_per_step={G} must divide nb={nb}")
     kernel = functools.partial(_sym_band_kernel, hb=hb, B=B, nb=nb, G=G)
@@ -95,7 +109,7 @@ def _sym_band_matvec(ub: Array, x: Array, interpret: bool = False,
         ],
         out_specs=pl.BlockSpec((S, M), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((S, M), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((S, M), out_dt),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * nb * hbp1 * B * B * S,

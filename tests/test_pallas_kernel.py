@@ -34,6 +34,23 @@ def test_matches_dense(B, bw):
     np.testing.assert_allclose(y[:, M:], x[:, M:], atol=1e-12)
 
 
+def test_bf16_storage_f32_accumulate():
+    """bf16 upper blocks: the kernel must accumulate in f32 (output dtype
+    promotion) and stay within bf16 rounding of the f64 band result."""
+    rng = np.random.default_rng(3)
+    M = 512
+    band, _, _ = simulate_ld_band(10000, M, bandwidth=64, rng=rng,
+                                  dtype=np.float64)
+    R = band_to_dense(band)
+    op = SymBandedLD.from_band(band, block_size=128, dtype="bfloat16")
+    assert str(op.upper.dtype) == "bfloat16"
+    x = rng.normal(size=(2, op.M))
+    y = np.asarray(op.matvec(jnp.asarray(x, jnp.float32)), np.float64)
+    want = x[:, :M] @ R.T
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(y[:, :M] / scale, want / scale, atol=2e-2)
+
+
 def test_matches_banded_operator_in_engine():
     """Full engine equivalence: SymBandedLD vs BandedLD trajectories."""
     rng = np.random.default_rng(1)
