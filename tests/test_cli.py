@@ -56,9 +56,10 @@ def test_cli_end_to_end_single_cohort(sim_dir, tmp_path):
 
 
 def test_cli_banded_operator_matches_dense(sim_dir, tmp_path):
-    """Banded operator with full bandwidth must reproduce the dense run."""
+    """Banded and sym operators with full bandwidth must reproduce the
+    dense run."""
     outs = {}
-    for op in ["dense", "banded"]:
+    for op in ["dense", "banded", "sym"]:
         out = tmp_path / op
         rc = cli_main.main([
             "--ld-files", str(sim_dir / "sim_R.npy"),
@@ -72,6 +73,7 @@ def test_cli_banded_operator_matches_dense(sim_dir, tmp_path):
         assert rc == 0
         outs[op] = np.fromfile(out / "t_xhat_it_2.bin", dtype="<f8")
     np.testing.assert_allclose(outs["banded"], outs["dense"], rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(outs["sym"], outs["dense"], rtol=1e-8, atol=1e-12)
 
 
 def test_cli_ld_dtype_bf16(sim_dir, tmp_path):
