@@ -100,7 +100,7 @@ def time_matvec_child(band, r, N, lam, h2, cg_maxit, block_size):
     return (time.time() - t0) / reps
 
 
-def time_step_child(band, r, N, lam, h2, iters, cg_maxit, block_size):
+def time_step_child(band, r, N, lam, h2, iters, cg_maxit, block_size, x0=None):
     """Full-step timing (run in a killable subprocess: the step's first
     compile can take minutes on a busy compile service)."""
     import jax
@@ -123,7 +123,14 @@ def time_step_child(band, r, N, lam, h2, iters, cg_maxit, block_size):
     _ = float(aux.gamw[0])  # chain dependency forces all iters
     iter_s = (time.time() - t0) / iters
     finite = bool(jax.numpy.all(jax.numpy.isfinite(state.xhat2)))
-    return iter_s, compile_s, finite
+    align = -1.0
+    if x0 is not None:
+        # sanity: after 1+iters VAMP steps the estimate must correlate with
+        # the known true signal (guards "fast but wrong" configurations).
+        xh = np.asarray(state.xhat1[: x0.shape[0]], np.float64)
+        denom = np.linalg.norm(xh) * np.linalg.norm(x0)
+        align = float(np.dot(xh, np.asarray(x0, np.float64)) / denom) if denom else 0.0
+    return iter_s, compile_s, finite, align
 
 
 def run_child(mode, budget_s):
@@ -277,10 +284,10 @@ def child_main(mode):
     M, bandwidth, block_size, cg_maxit, iters = _params()
     band, r, x0 = build_problem(M, bandwidth, N_SAMPLES, LAM, H2)
     if mode == "step":
-        iter_s, compile_s, finite = time_step_child(
-            band, r, N_SAMPLES, LAM, H2, iters, cg_maxit, block_size)
+        iter_s, compile_s, finite, align = time_step_child(
+            band, r, N_SAMPLES, LAM, H2, iters, cg_maxit, block_size, x0=x0)
         print(json.dumps({"iter_s": iter_s, "compile_s": compile_s,
-                          "finite": finite}))
+                          "finite": finite, "align": align}))
     else:
         matvec_s = time_matvec_child(band, r, N_SAMPLES, LAM, H2, cg_maxit,
                                      block_size)
@@ -306,6 +313,7 @@ def main():
     mv = run_child("matvec", min(200.0, remaining())) if remaining() > 90 else None
     got = run_child("step", remaining()) if remaining() > 120 else None
     matvec_s = mv["matvec_s"] if mv else float("nan")
+    align = got.get("align", -1.0) if got else -1.0
     if got is not None:
         iter_s, compile_s, finite = got["iter_s"], got["compile_s"], got["finite"]
         step_timed = True
@@ -349,6 +357,7 @@ def main():
         "compile_s": round(compile_s, 1),
         "gen_s": round(gen_s, 1),
         "state_finite": finite,
+        "align_vs_x0": _num(align),
         "step_timed": step_timed,
         "baseline_iter_s": round(base_s, 2),
         "baseline_parts": {k: round(v, 4) for k, v in base_parts.items()},
