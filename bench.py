@@ -59,8 +59,14 @@ def _setup_tpu(band, r, N, lam, h2, cg_maxit, block_size):
     cm = max(int(M * lam), 1)
     _stage("packing blocks + device transfer")
     ld_dtype = os.environ.get("SGVAMP_BENCH_LD_DTYPE", "float32")
-    op = BandedLD.from_band(band, block_size=block_size, dtype=ld_dtype)
-    jax.block_until_ready(op.blocks)
+    if os.environ.get("SGVAMP_BENCH_OPERATOR", "band") == "sym":
+        from sgvamp_tpu.ops.band_kernel import SymBandedLD
+
+        op = SymBandedLD.from_band(band, block_size=block_size, dtype=ld_dtype)
+        jax.block_until_ready(op.upper)
+    else:
+        op = BandedLD.from_band(band, block_size=block_size, dtype=ld_dtype)
+        jax.block_until_ready(op.blocks)
     Mp = op.M
     dt = jnp.float32
     mask = np.zeros(Mp, np.float32)
@@ -332,13 +338,17 @@ def main():
     _stage("done")
 
     # Analytic block-array size (parent does no device work).
+    operator = os.environ.get("SGVAMP_BENCH_OPERATOR", "band")
+    ld_dtype = os.environ.get("SGVAMP_BENCH_LD_DTYPE", "float32")
+    itemsize = 2 if ld_dtype == "bfloat16" else 4
     nb = -(-M // block_size)
-    nd = 2 * (-(-bandwidth // block_size)) + 1
+    hb = -(-bandwidth // block_size)
+    nd = (hb + 1) if operator == "sym" else (2 * hb + 1)
 
     # Traffic accounting: the fused multi-RHS CG reads the block array
     # once per iteration for BOTH solves (the reference pays two reads),
     # plus one initial-residual pass and one fused gamw-learning pass.
-    bytes_per_pass = nb * nd * block_size * block_size * 4
+    bytes_per_pass = nb * nd * block_size * block_size * itemsize
     passes = cg_maxit + 2
 
     def _num(x, digits=4):
@@ -362,6 +372,7 @@ def main():
         "baseline_iter_s": round(base_s, 2),
         "baseline_parts": {k: round(v, 4) for k, v in base_parts.items()},
         "M": M, "bandwidth": bandwidth, "cg_maxit": cg_maxit,
+        "operator": operator, "ld_dtype": ld_dtype,
     }
     print(json.dumps(result))
 
