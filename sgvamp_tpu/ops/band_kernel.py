@@ -32,7 +32,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _sym_band_kernel(ub_ref, x_ref, y_ref, *, hb: int, B: int, nb: int, G: int):
+def _sym_band_kernel(ub_ref, x_ref, y_ref, *, hb: int, B: int, nb: int, G: int,
+                     window: bool = False):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -40,21 +41,18 @@ def _sym_band_kernel(ub_ref, x_ref, y_ref, *, hb: int, B: int, nb: int, G: int):
         y_ref[:, :] = jnp.zeros_like(y_ref)
 
     acc_dt = jnp.promote_types(x_ref.dtype, jnp.float32)
-    # G block rows per grid step amortize per-step dispatch/DMA-setup
-    # overhead (the dominant cost at B<=256 with ~0.5MB panels).
-    for g in range(G):
-        row = i * G + g
-        x_i = x_ref[:, pl.ds(row * B, B)]  # (S, B)
+
+    def per_diagonal(row, g, x_i):
+        # One matmul per stored diagonal + its mirror (edge-safe).
         for d in range(hb + 1):
             Ud = ub_ref[g, d]  # (B, B) = R[block row, block row+d]
-
             if d == 0:
                 y_ref[:, pl.ds(row * B, B)] += jnp.dot(
                     x_i, Ud.T, preferred_element_type=acc_dt
                 )
             else:
                 @pl.when(row + d < nb)
-                def _(row=row, Ud=Ud, x_i=x_i):
+                def _(row=row, Ud=Ud, x_i=x_i, d=d):
                     j = row + d
                     x_j = x_ref[:, pl.ds(j * B, B)]
                     # y_row[s, p] += sum_q Ud[p, q] x_j[s, q]
@@ -66,6 +64,33 @@ def _sym_band_kernel(ub_ref, x_ref, y_ref, *, hb: int, B: int, nb: int, G: int):
                         x_i, Ud, preferred_element_type=acc_dt
                     )
 
+    # G block rows per grid step amortize per-step dispatch/DMA-setup
+    # overhead (the dominant cost at B<=256 with ~0.5MB panels).
+    for g in range(G):
+        row = i * G + g
+        x_i = x_ref[:, pl.ds(row * B, B)]  # (S, B)
+        if window and hb >= 1:
+            # Interior fast path: ONE matmul over the whole (hb+1)B-wide x
+            # window computes y_row (fewer MXU issues, larger K dim); the
+            # mirrors remain one matmul per off-diagonal.
+            @pl.when(row + hb < nb)
+            def _(row=row, g=g, x_i=x_i):
+                xw = x_ref[:, pl.ds(row * B, (hb + 1) * B)]
+                W = ub_ref[g].transpose(0, 2, 1).reshape((hb + 1) * B, B)
+                y_ref[:, pl.ds(row * B, B)] += jnp.dot(
+                    xw, W, preferred_element_type=acc_dt
+                )
+                for d in range(1, hb + 1):
+                    y_ref[:, pl.ds((row + d) * B, B)] += jnp.dot(
+                        x_i, ub_ref[g, d], preferred_element_type=acc_dt
+                    )
+
+            @pl.when(row + hb >= nb)
+            def _(row=row, g=g, x_i=x_i):
+                per_diagonal(row, g, x_i)
+        else:
+            per_diagonal(row, g, x_i)
+
 
 _VMEM_BUDGET = 14 << 20  # stay under the ~16MiB scoped-vmem limit with slack
 
@@ -73,7 +98,8 @@ _VMEM_BUDGET = 14 << 20  # stay under the ~16MiB scoped-vmem limit with slack
 def _pick_rows_per_step(nb: int, panel_bytes_per_row: int,
                         resident_bytes: int) -> int:
     """Largest divisor of nb whose double-buffered panel fits VMEM next to
-    the resident x/y vectors (observed hard limit: 16MiB scoped vmem)."""
+    the resident x/y vectors (observed hard limit: 16MiB scoped vmem).
+    Measured at M=512k/bf16: G=16 equals G=8, so 8 is the cap."""
     fit = max(1, (_VMEM_BUDGET - resident_bytes) // (2 * panel_bytes_per_row))
     for g in (8, 4, 2):
         if g <= fit and nb % g == 0:
@@ -81,9 +107,10 @@ def _pick_rows_per_step(nb: int, panel_bytes_per_row: int,
     return 1
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "rows_per_step"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "rows_per_step", "window"))
 def _sym_band_matvec(ub: Array, x: Array, interpret: bool = False,
-                     rows_per_step: int = 0) -> Array:
+                     rows_per_step: int = 0, window: bool = False) -> Array:
     """y = R @ x from upper blocks. ub: (nb, hb+1, B, B); x: (S, M).
 
     y accumulates in (at least) float32 regardless of storage dtype; the
@@ -98,7 +125,8 @@ def _sym_band_matvec(ub: Array, x: Array, interpret: bool = False,
     G = rows_per_step or _pick_rows_per_step(nb, panel_row, resident)
     if nb % G:
         raise ValueError(f"rows_per_step={G} must divide nb={nb}")
-    kernel = functools.partial(_sym_band_kernel, hb=hb, B=B, nb=nb, G=G)
+    kernel = functools.partial(_sym_band_kernel, hb=hb, B=B, nb=nb, G=G,
+                               window=window)
     return pl.pallas_call(
         kernel,
         grid=(nb // G,),
@@ -131,6 +159,7 @@ class SymBandedLD:
     upper: Array
     s: float = dataclasses.field(default=0.0, metadata=dict(static=True))
     rows_per_step: int = dataclasses.field(default=0, metadata=dict(static=True))
+    window: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     @property
     def K(self) -> int:
@@ -158,7 +187,8 @@ class SymBandedLD:
         interpret = jax.default_backend() != "tpu"
         xs = x.reshape(S, K, self.M).transpose(1, 0, 2)  # (K, S, M)
         y = jax.vmap(lambda ub, xv: _sym_band_matvec(
-            ub, xv, interpret=interpret, rows_per_step=self.rows_per_step))(
+            ub, xv, interpret=interpret, rows_per_step=self.rows_per_step,
+            window=self.window))(
             self.upper, xs.astype(self.upper.dtype)
         )
         y = y.transpose(1, 0, 2).reshape(x.shape).astype(x.dtype)

@@ -7,6 +7,8 @@ storage (upper-triangle blocks only) for currently-lower throughput and is
 kept as a correct, tested alternative for memory-limited panels.
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -31,6 +33,24 @@ def test_matches_dense(B, bw):
     want = x[:, :M] @ (0.9 * R + 0.1 * np.eye(M)).T
     np.testing.assert_allclose(y[:, :M], want, rtol=1e-10, atol=1e-12)
     # padded markers carry an identity diagonal: Rused @ x = x there
+    np.testing.assert_allclose(y[:, M:], x[:, M:], atol=1e-12)
+
+
+@pytest.mark.parametrize("B,bw", [(128, 48), (128, 200)])
+def test_window_flavor_matches_dense(B, bw):
+    """The window fast path (one matmul per row over the (hb+1)B window)
+    must equal the per-diagonal path, including edge rows."""
+    rng = np.random.default_rng(2)
+    M = 700
+    band, _, _ = simulate_ld_band(10000, M, bandwidth=bw, rng=rng,
+                                  dtype=np.float64)
+    R = band_to_dense(band)
+    op = dataclasses.replace(
+        SymBandedLD.from_band(band, block_size=B, s=0.1), window=True)
+    x = rng.normal(size=(2, op.M))
+    y = np.asarray(op.matvec(jnp.asarray(x)))
+    want = x[:, :M] @ (0.9 * R + 0.1 * np.eye(M)).T
+    np.testing.assert_allclose(y[:, :M], want, rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(y[:, M:], x[:, M:], atol=1e-12)
 
 
