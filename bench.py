@@ -5,6 +5,14 @@ CG solves + Hutchinson + gamw learning) on one TPU chip at M=512k markers,
 bandwidth 256, with a fixed CG budget (cg_rtol=0 forces exactly cg_maxit
 matvecs per solve) so per-iteration work is deterministic.
 
+Default configuration: the symmetric pallas operator with bfloat16 block
+storage (SGVAMP_BENCH_OPERATOR/SGVAMP_BENCH_LD_DTYPE override for A/B).
+This is numerically equivalent to the float32 einsum operator on TPU —
+the MXU truncates f32 matmul operands to bf16 by default, and both paths
+accumulate in f32 (measured: alignment agrees to 6 decimals at M=512k) —
+while moving ~3x fewer HBM bytes per LD pass (upper-triangle blocks only,
+half-width storage).
+
 Baseline: the reference implementation's per-iteration cost on this host's
 CPU, assembled from its measured parts (scipy CSR CG matvecs at the same
 fixed budget, the per-marker Python denoiser/derivative loops sampled and
@@ -57,30 +65,34 @@ def _setup_tpu(band, r, N, lam, h2, cg_maxit, block_size):
 
     M = r.shape[0]
     cm = max(int(M * lam), 1)
+    K = int(os.environ.get("SGVAMP_BENCH_K", "1"))
     _stage("packing blocks + device transfer")
-    ld_dtype = os.environ.get("SGVAMP_BENCH_LD_DTYPE", "float32")
-    if os.environ.get("SGVAMP_BENCH_OPERATOR", "band") == "sym":
+    ld_dtype = os.environ.get("SGVAMP_BENCH_LD_DTYPE", "bfloat16")
+    if os.environ.get("SGVAMP_BENCH_OPERATOR", "sym") == "sym":
         from sgvamp_tpu.ops.band_kernel import SymBandedLD
 
-        op = SymBandedLD.from_band(band, block_size=block_size, dtype=ld_dtype)
+        op = SymBandedLD.from_band(band, block_size=block_size, dtype=ld_dtype,
+                                   K=K)
         jax.block_until_ready(op.upper)
     else:
-        op = BandedLD.from_band(band, block_size=block_size, dtype=ld_dtype)
+        op = BandedLD.from_band(band, block_size=block_size, dtype=ld_dtype,
+                                K=K)
         jax.block_until_ready(op.blocks)
     Mp = op.M
     dt = jnp.float32
     mask = np.zeros(Mp, np.float32)
     mask[:M] = 1.0
-    rp = np.zeros(Mp, np.float32)
-    rp[:M] = r
+    rp = np.zeros((K, Mp), np.float32)
+    rp[:, :M] = r
     # cg_force_maxiter makes per-iteration work exactly deterministic:
     # cg_maxit fused passes for the two solves + 1 residual + 1 gamw pass.
     cfg = VampConfig(prior_update="em", dtype="float32", cg_maxit=cg_maxit,
                      cg_force_maxiter=True, em_prior_maxit=5, rho=0.5,
                      lmmse_damp=True)
-    prior = PriorState.create(lam, [1.0], [h2 / cm * N])
-    inputs = VampInputs(op=op, r=jnp.asarray(rp)[None], a=jnp.asarray([1.0], dt),
-                        N=jnp.asarray([float(N)], dt),
+    prior = PriorState.create(lam, [1.0], [h2 / cm * (N * K)])
+    inputs = VampInputs(op=op, r=jnp.asarray(rp),
+                        a=jnp.full((K,), 1.0 / K, dt),
+                        N=jnp.full((K,), float(N), dt),
                         mask=jnp.asarray(mask))
     state = V.init_state(inputs, cfg, prior, gamw=5.0, gam1=1e-6)
     return op, inputs, state, cfg
@@ -244,6 +256,8 @@ def _params():
     size = os.environ.get("SGVAMP_BENCH_SIZE", "large")
     if size == "small":  # quick smoke (CI / CPU)
         return 16384, 128, 256, 20, 3
+    if size == "xl":  # scale-ceiling demo: combine with SGVAMP_BENCH_K=8
+        return 1048576, 256, 256, 100, 3
     return 524288, 256, 256, 100, 3
 
 
@@ -338,8 +352,9 @@ def main():
     _stage("done")
 
     # Analytic block-array size (parent does no device work).
-    operator = os.environ.get("SGVAMP_BENCH_OPERATOR", "band")
-    ld_dtype = os.environ.get("SGVAMP_BENCH_LD_DTYPE", "float32")
+    operator = os.environ.get("SGVAMP_BENCH_OPERATOR", "sym")
+    ld_dtype = os.environ.get("SGVAMP_BENCH_LD_DTYPE", "bfloat16")
+    K = int(os.environ.get("SGVAMP_BENCH_K", "1"))
     itemsize = 2 if ld_dtype == "bfloat16" else 4
     nb = -(-M // block_size)
     hb = -(-bandwidth // block_size)
@@ -348,7 +363,7 @@ def main():
     # Traffic accounting: the fused multi-RHS CG reads the block array
     # once per iteration for BOTH solves (the reference pays two reads),
     # plus one initial-residual pass and one fused gamw-learning pass.
-    bytes_per_pass = nb * nd * block_size * block_size * itemsize
+    bytes_per_pass = K * nb * nd * block_size * block_size * itemsize
     passes = cg_maxit + 2
 
     def _num(x, digits=4):
@@ -372,7 +387,7 @@ def main():
         "baseline_iter_s": round(base_s, 2),
         "baseline_parts": {k: round(v, 4) for k, v in base_parts.items()},
         "M": M, "bandwidth": bandwidth, "cg_maxit": cg_maxit,
-        "operator": operator, "ld_dtype": ld_dtype,
+        "operator": operator, "ld_dtype": ld_dtype, "K": K,
     }
     print(json.dumps(result))
 
