@@ -63,6 +63,10 @@ class DenseLD:
     def M(self) -> int:
         return self.mats.shape[-1]
 
+    def bytes_per_pass(self) -> int:
+        """HBM bytes of LD data read by one matvec (roofline accounting)."""
+        return self.mats.size * self.mats.dtype.itemsize
+
     def matvec(self, x: Array) -> Array:
         """R @ x rowwise. x: (S*K, M) - S>=1 independent right-hand sides
         per cohort, stacked along the leading axis; one fused pass over
@@ -123,6 +127,10 @@ class BandedLD:
     @property
     def M(self) -> int:
         return self.nb * self.B
+
+    def bytes_per_pass(self) -> int:
+        """HBM bytes of LD blocks read by one matvec (roofline accounting)."""
+        return self.blocks.size * self.blocks.dtype.itemsize
 
     def matvec(self, x: Array) -> Array:
         """R @ x rowwise; x may stack S right-hand sides per cohort along

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import time
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -375,14 +376,27 @@ class VampEngine:
             "cg1_iters": [], "cg2_iters": [],
         }
         x0v = None if x0 is None else np.asarray(x0).squeeze()
+        bpp = getattr(self.inputs.op, "bytes_per_pass", lambda: 0)()
         for rel_it in range(iterations):
             it = it0 + rel_it
             logger.info(f"\n -----ITERATION {it} -----")
+            t_step = time.perf_counter()
             if fixed_u is not None:
                 state, aux = self._step(state, self.inputs, jnp.asarray(fixed_u[rel_it]))
             else:
                 state, aux = self._step_rand(state, self.inputs)
             xhat1 = np.asarray(aux.xhat1)[:M_out]
+            dt_step = time.perf_counter() - t_step
+            # Achieved-bandwidth counter (SURVEY section 5): LD passes =
+            # the fused CG's iterations + the initial residual + the fused
+            # gamw pass; each reads the LD blocks once for all lanes.
+            passes = int(max(np.max(aux.cg1_iters), np.max(aux.cg2_iters))) + 2
+            if bpp and dt_step > 0:
+                logger.debug(
+                    f"[roofline] iteration {it}: {dt_step:.4f}s, "
+                    f"{passes} LD passes, achieved "
+                    f"{bpp * passes / dt_step / 1e9:.1f} GB/s (incl. dispatch)"
+                )
             r1_in = np.asarray(aux.r1_in)[:, :M_out]
             self._log_iteration(it, aux)
             if abort_on_nonfinite and not (

@@ -188,6 +188,10 @@ class SymBandedLD:
     def M(self) -> int:
         return self.nb * self.B
 
+    def bytes_per_pass(self) -> int:
+        """HBM bytes of LD blocks read by one matvec (roofline accounting)."""
+        return self.upper.size * self.upper.dtype.itemsize
+
     def matvec(self, x: Array) -> Array:
         K = self.K
         S = x.shape[0] // K
