@@ -375,8 +375,13 @@ def main():
         "unit": "iter/s",
         "vs_baseline": _num(base_s / iter_s, 2),
         "iter_ms": _num(iter_s * 1e3, 2),
+        "markers_per_sec": _num(M / iter_s, 0),
         "ld_passes_per_iter": passes,
         "effective_GBps": _num(bytes_per_pass * passes / iter_s / 1e9, 1),
+        # Mathematical matvec FLOPs (2 RHS x mul+add x nnz of the band),
+        # independent of storage layout - the BASELINE.md GFLOP/s metric.
+        "cg_GFLOPs_per_chip": _num(
+            2 * 2 * K * M * (2 * bandwidth + 1) * passes / iter_s / 1e9, 1),
         "matvec_ms": _num(matvec_s * 1e3, 3),
         "matvec_GBps": _num(bytes_per_pass / matvec_s / 1e9, 1),
         "compile_s": round(compile_s, 1),
