@@ -68,9 +68,12 @@ def _setup_tpu(band, r, N, lam, h2, cg_maxit, block_size):
     K = int(os.environ.get("SGVAMP_BENCH_K", "1"))
     _stage("packing blocks + device transfer")
     ld_dtype = os.environ.get("SGVAMP_BENCH_LD_DTYPE", "bfloat16")
-    if os.environ.get("SGVAMP_BENCH_OPERATOR", "sym") == "sym":
-        from sgvamp_tpu.ops.band_kernel import SymBandedLD
+    from sgvamp_tpu.ops.band_kernel import SymBandedLD
 
+    itemsize = 2 if ld_dtype == "bfloat16" else 4
+    want_sym = (os.environ.get("SGVAMP_BENCH_OPERATOR", "sym") == "sym"
+                and SymBandedLD.fits_vmem(M, 2, itemsize))
+    if want_sym:
         op = SymBandedLD.from_band(band, block_size=block_size, dtype=ld_dtype,
                                    K=K)
         jax.block_until_ready(op.upper)
@@ -356,6 +359,11 @@ def main():
     ld_dtype = os.environ.get("SGVAMP_BENCH_LD_DTYPE", "bfloat16")
     K = int(os.environ.get("SGVAMP_BENCH_K", "1"))
     itemsize = 2 if ld_dtype == "bfloat16" else 4
+    if operator == "sym":
+        from sgvamp_tpu.ops.band_kernel import SymBandedLD
+
+        if not SymBandedLD.fits_vmem(M, 2, itemsize):
+            operator = "band"  # children fall back the same way
     nb = -(-M // block_size)
     hb = -(-bandwidth // block_size)
     nd = (hb + 1) if operator == "sym" else (2 * hb + 1)

@@ -192,6 +192,14 @@ class SymBandedLD:
         """HBM bytes of LD blocks read by one matvec (roofline accounting)."""
         return self.upper.size * self.upper.dtype.itemsize
 
+    @staticmethod
+    def fits_vmem(M: int, S: int = 2, storage_bytes: int = 2) -> bool:
+        """Whether the VMEM-resident x/y design fits the ~16MiB scoped
+        limit at this M (observed: both vectors can be double-buffered,
+        so budget 2*S*M*(storage + 4 accum) bytes + panel slack).
+        M=512k/S=2/bf16 fits; M=1M does not (measured OOM by 10MB)."""
+        return 2 * S * M * (storage_bytes + 4) < (13 << 20)
+
     def matvec(self, x: Array) -> Array:
         K = self.K
         S = x.shape[0] // K
