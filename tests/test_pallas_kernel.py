@@ -54,6 +54,14 @@ def test_window_flavor_matches_dense(B, bw):
     np.testing.assert_allclose(y[:, M:], x[:, M:], atol=1e-12)
 
 
+def test_fits_vmem_ceiling():
+    """The VMEM-resident design fits at the bench size and not at M=1M
+    (measured: 512k/bf16 runs, 1M OOMs the 16MiB scoped limit by 10MB)."""
+    assert SymBandedLD.fits_vmem(524288, 2, 2)
+    assert not SymBandedLD.fits_vmem(1048576, 2, 2)
+    assert not SymBandedLD.fits_vmem(1048576, 2, 4)
+
+
 def test_bf16_storage_f32_accumulate():
     """bf16 upper blocks: the kernel must accumulate in f32 (output dtype
     promotion) and stay within bf16 rounding of the f64 band result."""
