@@ -88,6 +88,20 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--compile-cache-dir", default="~/.cache/sgvamp_tpu/xla",
                    help="Persistent XLA compilation cache directory; '' disables. "
                    "Cuts repeat-run compile time from minutes to seconds")
+    # -- multi-host execution (replaces the reference's `mpirun -np K`,
+    #    reference src/main.py:16-18, README.md:6-12) --
+    d = p.add_argument_group(
+        "multi-host execution",
+        "Run one process per host under jax.distributed; all processes get "
+        "the same flags (the SPMD analogue of mpirun). Also honours the "
+        "standard JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID "
+        "env vars and Cloud TPU pod auto-detection.")
+    d.add_argument("--coordinator-address", default=None,
+                   help="host:port of process 0's coordinator service")
+    d.add_argument("--num-processes", type=int, default=None,
+                   help="Total number of processes (hosts)")
+    d.add_argument("--process-id", type=int, default=None,
+                   help="This process's id in [0, num-processes)")
     return p
 
 
@@ -103,6 +117,14 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+        n_mesh = max(args.mesh_cohort, 1) * max(args.mesh_shard or 1, 1)
+        if args.platform == "cpu" and n_mesh > 1:
+            # provision virtual CPU devices for mesh testing (the CPU
+            # analogue of a multi-chip slice); must precede backend init
+            try:
+                jax.config.update("jax_num_cpu_devices", n_mesh)
+            except RuntimeError:
+                pass
     if args.compile_cache_dir:
         cache_dir = os.path.expanduser(args.compile_cache_dir)
         try:
@@ -112,6 +134,18 @@ def main(argv: Optional[List[str]] = None) -> int:
             jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         except (OSError, AttributeError):
             pass
+    # Multi-host bootstrap must run before the backend is touched
+    # (jax.devices() below initializes it).
+    from sgvamp_tpu.parallel.multihost import multihost_init
+    is_multihost = multihost_init(args.coordinator_address,
+                                  args.num_processes, args.process_id)
+    is_driver = jax.process_index() == 0
+    if not is_driver:
+        # one driver process owns stdout and all output files (the
+        # reference's all-ranks-recreate-CSVs race, SURVEY section 5,
+        # removed by construction)
+        logging.getLogger("sgvamp").setLevel(logging.WARNING)
+
     platform = jax.devices()[0].platform
     want_x64 = (platform == "cpu") if args.x64 is None else bool(int(args.x64))
     if want_x64:
@@ -174,6 +208,30 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     Nt = float(sum(N_list))
     a = np.asarray(N_list, dtype=np.float64) / Nt
+
+    # -- device mesh (decided before the LD operator so operator choice can
+    #    react to sharding; replaces the reference's one-rank-per-cohort
+    #    MPI layout, src/main.py:85) --
+    mesh = None
+    if is_multihost:
+        from sgvamp_tpu.parallel.multihost import make_multihost_mesh
+        mesh = make_multihost_mesh(args.mesh_cohort if args.mesh_cohort > 1 else None)
+        log.info(f"Running on multi-host mesh "
+                 f"{dict(zip(mesh.axis_names, mesh.devices.shape))} over "
+                 f"{jax.process_count()} processes")
+    elif args.mesh_cohort > 1 or args.mesh_shard:
+        from sgvamp_tpu.parallel.sharding import make_mesh
+        mesh = make_mesh(args.mesh_cohort, args.mesh_shard)
+        log.info(f"Running on mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+    if args.operator == "sym" and mesh is not None:
+        from sgvamp_tpu.parallel.sharding import SHARD_AXIS
+        if dict(zip(mesh.axis_names, mesh.devices.shape)).get(SHARD_AXIS, 1) > 1:
+            # The sym kernel's (K, nb, hb+1, B, B) upper storage does not
+            # shard over block rows (its pallas grid is single-device);
+            # the banded einsum operator is the sharded fast path.
+            log.info("WARNING: --operator sym does not support marker-axis "
+                     "sharding; falling back to the banded operator")
+            args.operator = "banded"
 
     # -- harmonization (reference src/main.py:126-165) --
     ts = time.time()
@@ -247,13 +305,21 @@ def main(argv: Optional[List[str]] = None) -> int:
         Rs = [loaders.load_R(p, vindex) for p in ld_paths]
         if any(p.endswith(".ld") for p in ld_paths) and K > 1:
             Rs, rs = loaders.fill_missing_from_source(Rs, rs, panel)
-        dense = loaders.to_dense_stack(Rs, M)
         rs = np.stack(rs)
         if args.operator == "sym":
+            # built from the CSRs directly - the dense stack is never needed
+            # on this path (it would cost O(K*M^2) host memory at exactly
+            # the large M the sym operator targets)
             from sgvamp_tpu.ops.band_kernel import SymBandedLD
-            bands_k = [loaders.csr_to_band(R, args.bandwidth,
-                                           dtype=np.dtype(ld_dtype))[0] for R in Rs]
+            bands_k, dropped = [], 0
+            for R in Rs:
+                band_k, _, d_k = loaders.csr_to_band(R, args.bandwidth,
+                                                     dtype=np.dtype(ld_dtype))
+                bands_k.append(band_k)
+                dropped += d_k
             bw = max((b.shape[1] - 1) // 2 for b in bands_k)
+            if dropped:
+                log.info(f"WARNING: {dropped} LD entries outside bandwidth {bw} dropped")
             ops = []
             for b in bands_k:
                 w = (b.shape[1] - 1) // 2
@@ -266,6 +332,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             Mp = ops[0].M
             pad = Mp - M
         elif args.operator == "banded":
+            dense = loaders.to_dense_stack(Rs, M)
             bw = args.bandwidth
             if bw is None:
                 bw = max(loaders.estimate_bandwidth(R) for R in Rs)
@@ -279,6 +346,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                                      s=s, dtype=np.dtype(ld_dtype))
             Mp = dense.shape[-1]
         else:
+            dense = loaders.to_dense_stack(Rs, M)
             op = DenseLD(mats=jnp.asarray(dense, ld_dtype), s=s,
                          accum_dtype="" if ld_dtype == "float64" else "float32")
             pad, Mp = 0, M
@@ -311,11 +379,6 @@ def main(argv: Optional[List[str]] = None) -> int:
         N=jnp.asarray(N_list, dtype),
         mask=mask,
     )
-    mesh = None
-    if args.mesh_cohort > 1 or args.mesh_shard:
-        from sgvamp_tpu.parallel.sharding import make_mesh
-        mesh = make_mesh(args.mesh_cohort, args.mesh_shard)
-        log.info(f"Running on mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}")
     engine = VampEngine(inputs, cfg, prior, gamw=gamw, gam1=gam1, mesh=mesh)
 
     ckpt = None
@@ -331,7 +394,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 log.info(f"Resumed from checkpoint at iteration {start_it}")
 
     writer = None
-    if args.out_dir:
+    if args.out_dir and is_driver:
         writer = OutputWriter(args.out_dir, args.out_name, K, append=start_it > 0)
 
     log.info("...Running sgVAMP\n")
@@ -342,6 +405,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     try:
         if bool(int(args.fused)):
             final_state, aux = engine.run_scan(iterations)
+            if jax.process_count() > 1:
+                from sgvamp_tpu.parallel.multihost import fetch_global
+                aux = jax.tree_util.tree_map(fetch_global, aux)
             if writer is not None:
                 history = engine.write_scan_outputs(aux, writer, Nt=Nt, x0=x0,
                                                     M_out=M)

@@ -377,6 +377,7 @@ class VampEngine:
         }
         x0v = None if x0 is None else np.asarray(x0).squeeze()
         bpp = getattr(self.inputs.op, "bytes_per_pass", lambda: 0)()
+        multiproc = jax.process_count() > 1
         for rel_it in range(iterations):
             it = it0 + rel_it
             logger.info(f"\n -----ITERATION {it} -----")
@@ -385,6 +386,12 @@ class VampEngine:
                 state, aux = self._step(state, self.inputs, jnp.asarray(fixed_u[rel_it]))
             else:
                 state, aux = self._step_rand(state, self.inputs)
+            if multiproc:
+                # Cross-process-sharded aux arrays are not host-addressable;
+                # collectively all-gather them so the (host-side) I/O below
+                # works unchanged under jax.distributed.
+                from sgvamp_tpu.parallel.multihost import fetch_global
+                aux = jax.tree_util.tree_map(fetch_global, aux)
             xhat1 = np.asarray(aux.xhat1)[:M_out]
             dt_step = time.perf_counter() - t_step
             # Achieved-bandwidth counter (SURVEY section 5): LD passes =

@@ -28,9 +28,19 @@ class CheckpointManager:
         return os.path.join(self.directory, f"vamp_state_{it:06d}.npz")
 
     def save(self, state, it: int) -> str:
+        from sgvamp_tpu.parallel.multihost import fetch_global
+
         leaves, treedef = jax.tree_util.tree_flatten(state)
-        arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+        arrays = {f"leaf_{i}": fetch_global(x) for i, x in enumerate(leaves)}
+        # Structure fingerprint: restoring into a different configuration
+        # with the same leaf count must fail loudly, not silently permute
+        # fields.
+        arrays["__treedef__"] = np.asarray(str(treedef))
         path = self._path(it)
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            # every process participates in the fetch collectives above;
+            # only process 0 touches the filesystem
+            return path
         tmp = path + ".tmp.npz"
         np.savez(tmp, **arrays)
         os.replace(tmp, path)
@@ -61,7 +71,10 @@ class CheckpointManager:
             return None
         it, path = existing[-1]
         with np.load(path) as data:
-            leaves = [data[f"leaf_{i}"] for i in range(len(data.files))]
+            n_leaves = sum(1 for f in data.files if f.startswith("leaf_"))
+            leaves = [data[f"leaf_{i}"] for i in range(n_leaves)]
+            saved_treedef = (str(data["__treedef__"])
+                             if "__treedef__" in data.files else None)
         t_leaves, treedef = jax.tree_util.tree_flatten(template)
         if len(leaves) != len(t_leaves):
             raise ValueError(
@@ -69,6 +82,19 @@ class CheckpointManager:
                 f"current configuration expects {len(t_leaves)} - it was "
                 "written by an incompatible version/configuration"
             )
+        if saved_treedef is not None and saved_treedef != str(treedef):
+            raise ValueError(
+                f"checkpoint {path} was written with a different state "
+                f"structure (treedef mismatch) - refusing to restore into "
+                "permuted fields"
+            )
+        for i, (x, t) in enumerate(zip(leaves, t_leaves)):
+            ts = getattr(t, "shape", None)
+            if ts is not None and tuple(np.shape(x)) != tuple(ts):
+                raise ValueError(
+                    f"checkpoint {path} leaf {i} has shape {np.shape(x)} but "
+                    f"the current configuration expects {tuple(ts)}"
+                )
         state = jax.tree_util.tree_unflatten(treedef, leaves)
         # Restore on-device with the template's dtypes/shardings.
         state = jax.tree_util.tree_map(

@@ -37,11 +37,27 @@ def multihost_init(
     Args may come from flags or the standard JAX_COORDINATOR_ADDRESS /
     JAX_NUM_PROCESSES / JAX_PROCESS_ID environment (also auto-detected on
     Cloud TPU pods where jax.distributed.initialize() needs no args).
+
+    On the CPU backend, cross-process collectives need a collectives
+    implementation; gloo is selected automatically (it ships with jaxlib)
+    unless the user already configured one. This is what makes the
+    multi-process CPU test harness (tests/test_multiprocess.py) — and any
+    CPU-cluster deployment — work at all.
     """
     coordinator_address = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
-    in_pod = bool(os.environ.get("TPU_WORKER_HOSTNAMES"))
+    # Cloud TPU pod auto-detection: only multi-worker slices need (or can
+    # use) jax.distributed with no explicit coordinator. A single-worker
+    # value (e.g. the axon tunnel exports TPU_WORKER_HOSTNAMES=localhost)
+    # must not trigger it.
+    workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    in_pod = len([w for w in workers.split(",") if w]) > 1
     if not coordinator_address and not in_pod:
         return False
+    if jax.config.jax_platforms and "cpu" in str(jax.config.jax_platforms):
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:  # already initialized or unsupported jaxlib
+            pass
     kwargs = {}
     if coordinator_address:
         kwargs["coordinator_address"] = coordinator_address
@@ -54,6 +70,27 @@ def multihost_init(
         f"jax.distributed initialized: process {jax.process_index()}/{jax.process_count()}"
     )
     return True
+
+
+def fetch_global(x):
+    """Bring a (possibly cross-process-sharded) jax.Array to host numpy.
+
+    Single-process arrays pass straight through np.asarray. A multi-process
+    global array is first resharded to fully-replicated (an XLA all-gather;
+    this must be called collectively on every process, which the SPMD
+    engine loop guarantees) and then read from the local shard. This is
+    what lets the host-side I/O loop (engine.run) work unchanged under
+    jax.distributed, replacing the reference's per-rank file writes
+    (reference src/sgvamp.py:281-283)."""
+    if not hasattr(x, "is_fully_addressable") or x.is_fully_addressable:
+        return np.asarray(x)
+    if x.sharding.is_fully_replicated:
+        return np.asarray(x.addressable_shards[0].data)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = x.sharding.mesh
+    rep = jax.jit(lambda a: a, out_shardings=NamedSharding(mesh, P()))(x)
+    return np.asarray(rep.addressable_shards[0].data)
 
 
 def make_multihost_mesh(n_cohort: Optional[int] = None) -> Mesh:

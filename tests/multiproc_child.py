@@ -1,0 +1,88 @@
+"""Child program for tests/test_multiprocess.py: one jax.distributed
+process of a 2-process CPU run (4 virtual devices each), asserting that the
+cross-process (cohort, shard) mesh trajectory matches a single-device run.
+
+Usage: python multiproc_child.py <process_id> <num_processes> <port>
+"""
+
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+
+
+def main() -> int:
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+
+    from sgvamp_tpu.parallel.multihost import make_multihost_mesh, multihost_init
+
+    assert multihost_init(f"localhost:{port}", nproc, pid)
+    assert jax.process_count() == nproc
+    assert len(jax.devices()) == 4 * nproc
+
+    import jax.numpy as jnp
+
+    from sgvamp_tpu.config import VampConfig
+    from sgvamp_tpu.core.operators import BandedLD
+    from sgvamp_tpu.core.prior import PriorState
+    from sgvamp_tpu.core.vamp import VampEngine, VampInputs
+    from sgvamp_tpu.data.simulate import simulate_ld_band
+
+    # cohort axis = process count: each host's devices form one shard group,
+    # the layout make_multihost_mesh documents.
+    mesh = make_multihost_mesh(nproc)
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+        "cohort": nproc, "shard": 4}
+    # host-major: row p must be exactly process p's local devices
+    for p in range(nproc):
+        assert all(d.process_index == p for d in mesh.devices[p]), (
+            "multihost mesh rows must align with processes")
+
+    rng = np.random.default_rng(0)
+    K, M, B, iters = nproc, 1024, 128, 3
+    N = 20000
+    band, r, _ = simulate_ld_band(N, M, 64, h2=0.7, lam=0.05, rng=rng,
+                                  dtype=np.float64)
+    op = BandedLD.from_band(band, block_size=B, K=K)
+    rs = np.tile(r[None], (K, 1)) * (1.0 + 0.01 * np.arange(K)[:, None])
+    cfg = VampConfig(prior_update="em", dtype="float64", cg_maxit=200,
+                     cg_rtol=1e-10, rho=0.5, lmmse_damp=True)
+    Nt = float(K * N)
+    cm = max(int(M * 0.05), 1)
+    prior = PriorState.create(0.05, [1.0], [0.7 / cm * Nt])
+    inputs = VampInputs(
+        op=op,
+        r=jnp.asarray(rs),
+        a=jnp.full((K,), 1.0 / K),
+        N=jnp.full((K,), float(N)),
+    )
+    u_seq = (np.random.default_rng(99).integers(0, 2, size=(iters, K, M)) * 2
+             - 1).astype(np.float64)
+
+    sharded_engine = VampEngine(inputs, cfg, prior, gamw=5.0, gam1=1e-6,
+                                mesh=mesh)
+    hist_s = sharded_engine.run(iters, fixed_u=u_seq)
+
+    local_engine = VampEngine(inputs, cfg, prior, gamw=5.0, gam1=1e-6)
+    hist_l = local_engine.run(iters, fixed_u=u_seq)
+
+    for it in range(iters):
+        a = np.asarray(hist_s["xhat1"][it])
+        b = np.asarray(hist_l["xhat1"][it])
+        err = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-30)
+        assert err < 1e-9, f"xhat1 parity failed at it={it}: {err:.3e}"
+        np.testing.assert_allclose(
+            np.asarray(hist_s["params"][it], np.float64),
+            np.asarray(hist_l["params"][it], np.float64), rtol=1e-8)
+
+    print(f"PARITY OK process={pid}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -4,11 +4,15 @@ reference-semantics oracle on a simulated M=100k banded LD panel
 M=100k LD panels", to numerical tolerance).
 
 The oracle runs scipy CSR CG exactly like the reference's sparse path;
-the engine runs the block-banded operator with padding masks.
+the engine runs the block-banded operator with padding masks. Variants
+cover the full 10-iteration gate (EM), the MLE prior path, and K=2
+cohorts — late iterations are where damping/gamw feedback compounds, so
+the long gate is the one that catches slow drift.
 """
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import scipy.sparse
 
 from sgvamp_tpu import PriorState, VampConfig, VampEngine, VampInputs
@@ -28,35 +32,53 @@ def _band_to_csr(band):
     )
 
 
-def test_trajectory_parity_m100k():
-    rng = np.random.default_rng(0)
-    M, N, lam, h2, iters = 100_000, 300_000, 0.01, 0.7, 3
-    band, r, x0 = simulate_ld_band(N, M, bandwidth=32, h2=h2, lam=lam,
-                                   rng=rng, dtype=np.float64)
+def _run_pair(K, iters, prior_update, seed=0):
+    rng = np.random.default_rng(seed)
+    M, N, lam, h2 = 100_000, 300_000, 0.01, 0.7
     cm = int(M * lam)
-    u = (rng.integers(0, 2, size=(iters, 1, M)) * 2 - 1).astype(np.float64)
+    bands, rs = [], []
+    for _ in range(K):
+        band, r, x0 = simulate_ld_band(N, M, bandwidth=32, h2=h2, lam=lam,
+                                       rng=rng, dtype=np.float64)
+        bands.append(band)
+        rs.append(r)
+    rs = np.stack(rs)
+    u = (rng.integers(0, 2, size=(iters, K, M)) * 2 - 1).astype(np.float64)
 
-    R_csr = _band_to_csr(band)
-    oracle = ReferenceOracle([R_csr], r[None], np.asarray([1.0]),
-                             np.asarray([float(N)]), float(N),
+    Ns = np.full(K, float(N))
+    Nt = float(K * N)
+    a = Ns / Nt
+    oracle = ReferenceOracle([_band_to_csr(b) for b in bands], rs, a, Ns, Nt,
                              prior_vars=[0.0, h2 / cm], prior_probs=[1 - lam, lam])
-    ohist = oracle.run(iters, u, cg_maxit=1000, cg_rtol=1e-12, prior_update="em")
+    ohist = oracle.run(iters, u, cg_maxit=1000, cg_rtol=1e-12,
+                       prior_update=prior_update)
 
-    op = BandedLD.from_band(band, block_size=128)
+    ops = [BandedLD.from_band(b, block_size=128) for b in bands]
+    op = BandedLD(blocks=jnp.concatenate([o.blocks for o in ops], axis=0),
+                  s=0.0, accum_dtype=ops[0].accum_dtype)
     Mp = op.M
     mask = np.zeros(Mp)
     mask[:M] = 1.0
-    rp = np.zeros(Mp)
-    rp[:M] = r
-    up = np.zeros((iters, 1, Mp))
+    rp = np.zeros((K, Mp))
+    rp[:, :M] = rs
+    up = np.zeros((iters, K, Mp))
     up[:, :, :M] = u
-    cfg = VampConfig(prior_update="em", dtype="float64", cg_maxit=1000,
+    cfg = VampConfig(prior_update=prior_update, dtype="float64", cg_maxit=1000,
                      cg_rtol=1e-12)
-    prior = PriorState.create(lam, [1.0], [h2 / cm * N])
-    inputs = VampInputs(op=op, r=jnp.asarray(rp)[None], a=jnp.asarray([1.0]),
-                        N=jnp.asarray([float(N)]), mask=jnp.asarray(mask))
+    prior = PriorState.create(lam, [1.0], [h2 / cm * Nt])
+    inputs = VampInputs(op=op, r=jnp.asarray(rp), a=jnp.asarray(a),
+                        N=jnp.asarray(Ns), mask=jnp.asarray(mask))
     hist = VampEngine(inputs, cfg, prior).run(iters, fixed_u=up, M_out=M)
+    return ohist, hist
 
+
+@pytest.mark.parametrize("K,iters,prior_update", [
+    (1, 10, "em"),    # the full 10-iteration BASELINE gate
+    (1, 5, "mle"),
+    (2, 5, "em"),
+])
+def test_trajectory_parity_m100k(K, iters, prior_update):
+    ohist, hist = _run_pair(K, iters, prior_update)
     for it in range(iters):
         o, g = ohist["xhat1"][it], hist["xhat1"][it]
         scale = np.linalg.norm(o)

@@ -112,7 +112,7 @@ def test_trajectory_matches_oracle(K, prior_update, learn_gamw, lmmse_damp):
             orow = np.asarray(ohist["params"][it][k], dtype=np.float64)
             grow = np.asarray(hist["params"][it][k], dtype=np.float64)
             np.testing.assert_allclose(
-                grow, orow, rtol=5e-3,
+                grow, orow, rtol=1e-6,
                 err_msg=f"params mismatch at it={it} cohort={k}",
             )
 
@@ -167,7 +167,7 @@ def test_unequal_cohort_sizes():
         for k in range(2):
             np.testing.assert_allclose(
                 np.asarray(hist["params"][it][k]),
-                np.asarray(ohist["params"][it][k]), rtol=5e-3)
+                np.asarray(ohist["params"][it][k]), rtol=1e-6)
 
 
 def test_fused_scan_matches_host_loop():
