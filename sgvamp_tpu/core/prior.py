@@ -185,6 +185,7 @@ def _kkt_residual(x: Array, log_probs_shifted: Array, a: Array, omega0: Array,
 class _NewtonState(NamedTuple):
     x: Array
     resid: Array
+    mu: Array      # Levenberg-Marquardt damping parameter
     it: Array
     done: Array
     failed: Array
@@ -201,11 +202,21 @@ def mle_update(
 ) -> PriorState:
     """MLE prior update with fsolve-equivalent semantics.
 
-    Solves the (L+1)-dimensional KKT system by damped Newton, warm-started
-    at the current prior (and cached multiplier), then applies the
-    reference's guards: no update if the solve did not converge or any
-    weight is non-positive (reference src/sgvamp.py:182-189); otherwise
-    weights are renormalized and lam/omegas/gam refreshed (:190-194).
+    Solves the (L+1)-dimensional KKT system by Levenberg-Marquardt damped
+    Newton, warm-started at the current prior (and cached multiplier),
+    then applies the reference's guards: no update if the solve did not
+    converge or any weight is non-positive (reference src/sgvamp.py:
+    182-189); otherwise weights are renormalized and lam/omegas/gam
+    refreshed (:190-194).
+
+    The LM damping is the robustness analogue of MINPACK hybrd's trust
+    region (the engine behind the reference's fsolve, src/sgvamp.py:180):
+    on a (near-)singular Jacobian - nearly-degenerate mixture components,
+    extreme gam1 spreads - the normal-equations system
+    (J^T J + mu*diag(J^T J)) dx = J^T y stays solvable, where a plain
+    Newton solve would produce NaN and force a skipped update even on
+    problems hybrd converges on. mu shrinks toward Newton (quadratic
+    convergence) on accepted steps and grows on rejected ones.
     """
     dtype = prior.lam.dtype
     Lm1 = prior.sigmas.shape[0]
@@ -227,18 +238,32 @@ def mle_update(
     resid_fn = lambda x: _kkt_residual(x, log_probs, a, omega0, mask)
     jac_fn = jax.jacfwd(resid_fn)
 
+    MU_MIN, MU_MAX = 1e-12, 1e8
+
     def cond(s: _NewtonState) -> Array:
         return (s.it < maxit) & jnp.logical_not(s.done | s.failed)
+
+    MU_NEWTON = 1e-6  # at or below this damping, take plain Newton steps
 
     def body(s: _NewtonState) -> _NewtonState:
         y = resid_fn(s.x)
         J = jac_fn(s.x)
-        step = jnp.linalg.solve(J, y)
-        # Damped step: keep omegas strictly positive along the path so the
-        # 1/omega terms stay finite (fsolve's hybrd does its own trust
-        # region; this is our equivalent safeguard).
+        # Plain Newton step (non-monotone, like MINPACK far from trouble).
+        newton_step = jnp.linalg.solve(J, y)
+        # Levenberg-Marquardt fallback on the normal equations; Marquardt's
+        # diagonal scaling keeps the damping dimensionally consistent
+        # across the very different magnitudes of omega vs gam. Solvable
+        # even when J itself is singular (degenerate mixture components).
+        JTJ = J.T @ J
+        g = J.T @ y
+        d = jnp.diag(JTJ)
+        d = jnp.where(d > 0.0, d, 1.0)
+        lm_step = jnp.linalg.solve(JTJ + s.mu * jnp.diag(d), g)
+        use_newton = jnp.all(jnp.isfinite(newton_step)) & (s.mu <= MU_NEWTON)
+        step = jnp.where(use_newton, newton_step, lm_step)
+        # Positivity backtracking: keep omegas strictly positive along the
+        # path so the 1/omega terms stay finite.
         x_new = s.x - step
-        shrink = jnp.where(jnp.any(x_new[:L] <= 0.0), 0.5, 1.0)
 
         def backtrack(carry):
             t, xn = carry
@@ -249,18 +274,36 @@ def mle_update(
             t, xn = carry
             return jnp.any(xn[:L] <= 0.0) & (t > 1e-6)
 
-        t, x_new = jax.lax.while_loop(bt_cond, backtrack, (jnp.asarray(1.0, dtype), x_new))
+        t, x_new = jax.lax.while_loop(bt_cond, backtrack,
+                                      (jnp.asarray(1.0, dtype), x_new))
         new_resid = jnp.linalg.norm(resid_fn(x_new))
-        failed = jnp.logical_not(jnp.all(jnp.isfinite(x_new))) | jnp.logical_not(
+        bad = jnp.logical_not(jnp.all(jnp.isfinite(x_new))) | jnp.logical_not(
             jnp.isfinite(new_resid)
         )
-        step_small = jnp.linalg.norm(t * step) < 1.49012e-8 * (1.0 + jnp.linalg.norm(s.x))
-        done = (new_resid < tol) | step_small
-        return _NewtonState(x=x_new, resid=new_resid, it=s.it + 1, done=done, failed=failed)
+        # Newton steps are accepted whenever finite (non-monotone descent,
+        # matching hybrd's ability to traverse residual increases); LM
+        # steps must decrease the residual or the damping is raised and
+        # the iterate stays put.
+        accept = jnp.logical_not(bad) & (use_newton | (new_resid < s.resid))
+        x_next = jnp.where(accept, x_new, s.x)
+        resid_next = jnp.where(accept, new_resid, s.resid)
+        mu_next = jnp.clip(jnp.where(accept, s.mu * 0.3, s.mu * 10.0),
+                           MU_MIN, MU_MAX * 10.0)
+        failed = mu_next > MU_MAX  # no productive step at any damping
+        # A tiny accepted step signals convergence (fsolve's xtol
+        # semantics) - but only in the (near-)Newton regime; under heavy
+        # LM damping steps are short by construction.
+        step_small = accept & (s.mu <= 1e-4) & (
+            jnp.linalg.norm(t * step) < 1.49012e-8 * (1.0 + jnp.linalg.norm(s.x))
+        )
+        done = (resid_next < tol) | step_small
+        return _NewtonState(x=x_next, resid=resid_next, mu=mu_next,
+                            it=s.it + 1, done=done, failed=failed)
 
     init = _NewtonState(
         x=x0,
         resid=jnp.linalg.norm(resid_fn(x0)),
+        mu=jnp.asarray(MU_NEWTON, dtype),
         it=jnp.zeros((), jnp.int32),
         done=jnp.asarray(False),
         failed=jnp.asarray(False),

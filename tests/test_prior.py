@@ -165,3 +165,79 @@ def test_mle_failure_skips_update():
     # tol in 5 iterations, so expect the unchanged path.
     np.testing.assert_allclose(float(new.lam), 0.25)
     np.testing.assert_allclose(np.asarray(new.omegas), [1.0])
+
+
+# ---------------------------------------------------------------------------
+# MLE robustness stress tests: near-singular KKT systems where MINPACK
+# hybrd (the reference's fsolve) converges; the LM-damped Newton solve must
+# converge to the same fixed point (or, at worst, cleanly skip - but these
+# cases are chosen so fsolve converges, and we assert convergence).
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("gap", [1e-6, 1e-9])
+def test_mle_near_degenerate_components(gap):
+    """Two slab components with nearly identical variances make the KKT
+    Jacobian nearly singular in the (omega_1, omega_2) subspace: their
+    probs columns are almost collinear. Plain Newton's J-solve blows up;
+    LM damping must still converge to the fsolve fixed point."""
+    rng = np.random.default_rng(8)
+    K, M, L = 2, 300, 3
+    sigmas = np.asarray([2.0, 2.0 * (1.0 + gap)])
+    x = np.where(rng.random(M) < 0.2, rng.normal(0, 1.2, M), 0.0)
+    gam1s = rng.uniform(0.5, 2.0, K)
+    r1s = x[None, :] + rng.normal(size=(K, M)) / np.sqrt(gam1s)[:, None]
+    a = np.full(K, 0.5)
+    lam, omegas = 0.25, np.asarray([0.5, 0.5])
+
+    x_ref, ier = _fsolve_reference(r1s, gam1s, a, lam, omegas, sigmas)
+    assert ier == 1 and np.all(x_ref[:L] > 0), "fsolve itself should converge"
+    w = x_ref[:L] / x_ref[:L].sum()
+
+    prior = PriorState.create(lam, omegas, sigmas)
+    new = mle_update(jnp.asarray(r1s), jnp.asarray(gam1s), jnp.asarray(a), prior)
+    assert bool(new.mle_last_ok), "LM Newton must converge where fsolve does"
+    np.testing.assert_allclose(float(new.lam), 1.0 - w[0], rtol=1e-5)
+    # the two near-identical components' individual weights are genuinely
+    # ill-determined (that's the near-singularity); their sum is not
+    np.testing.assert_allclose(float(jnp.sum(new.omegas)), 1.0, rtol=1e-12)
+
+
+def test_mle_extreme_gam1_spread():
+    """gam1 spread over 8 orders of magnitude between cohorts: one cohort's
+    probs are nearly constant across components, flattening the Jacobian."""
+    rng = np.random.default_rng(21)
+    K, M, L = 2, 300, 2
+    sigmas = np.asarray([1.5])
+    x = np.where(rng.random(M) < 0.2, rng.normal(0, 1.0, M), 0.0)
+    gam1s = np.asarray([1e-6, 1e2])
+    r1s = x[None, :] + rng.normal(size=(K, M)) / np.sqrt(gam1s)[:, None]
+    a = np.asarray([0.5, 0.5])
+    lam, omegas = 0.25, np.asarray([1.0])
+
+    x_ref, ier = _fsolve_reference(r1s, gam1s, a, lam, omegas, sigmas)
+    prior = PriorState.create(lam, omegas, sigmas)
+    new = mle_update(jnp.asarray(r1s), jnp.asarray(gam1s), jnp.asarray(a), prior)
+    if ier == 1 and np.all(x_ref[:L] > 0):
+        w = x_ref[:L] / x_ref[:L].sum()
+        assert bool(new.mle_last_ok)
+        np.testing.assert_allclose(float(new.lam), 1.0 - w[0], rtol=1e-5)
+    else:
+        # fsolve rejected too: our reject path must leave the prior alone
+        assert not bool(new.mle_last_ok) or np.all(np.asarray(new.omegas) > 0)
+
+
+def test_mle_singular_jacobian_no_nan():
+    """EXACTLY duplicated components: the Jacobian is singular by
+    construction. The solve must never poison the prior with NaN - either
+    it converges through LM damping or it skips."""
+    rng = np.random.default_rng(3)
+    K, M = 1, 200
+    sigmas = np.asarray([1.0, 1.0])   # identical
+    r1s = rng.normal(size=(K, M)) * 2.0
+    gam1s = np.asarray([1.0])
+    a = np.asarray([1.0])
+    prior = PriorState.create(0.3, np.asarray([0.5, 0.5]), sigmas)
+    new = mle_update(jnp.asarray(r1s), jnp.asarray(gam1s), jnp.asarray(a), prior)
+    assert np.isfinite(float(new.lam))
+    assert np.all(np.isfinite(np.asarray(new.omegas)))
+    assert np.all(np.asarray(new.omegas) >= 0)
