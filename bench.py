@@ -71,8 +71,11 @@ def _setup_tpu(band, r, N, lam, h2, cg_maxit, block_size):
     from sgvamp_tpu.ops.band_kernel import SymBandedLD
 
     itemsize = 2 if ld_dtype == "bfloat16" else 4
-    want_sym = (os.environ.get("SGVAMP_BENCH_OPERATOR", "sym") == "sym"
-                and SymBandedLD.fits_vmem(M, 2, itemsize))
+    asked_sym = os.environ.get("SGVAMP_BENCH_OPERATOR", "sym") == "sym"
+    want_sym = asked_sym and SymBandedLD.fits_vmem(M, 2, itemsize)
+    if asked_sym and not want_sym:
+        _stage(f"sym operator does not fit VMEM at M={M} ({ld_dtype}); "
+               "falling back to the band einsum operator")
     if want_sym:
         op = SymBandedLD.from_band(band, block_size=block_size, dtype=ld_dtype,
                                    K=K)
@@ -364,6 +367,8 @@ def main():
 
         if not SymBandedLD.fits_vmem(M, 2, itemsize):
             operator = "band"  # children fall back the same way
+            _stage(f"sym operator does not fit VMEM at M={M} ({ld_dtype}); "
+                   "accounting for the band einsum operator")
     nb = -(-M // block_size)
     hb = -(-bandwidth // block_size)
     nd = (hb + 1) if operator == "sym" else (2 * hb + 1)

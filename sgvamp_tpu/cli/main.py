@@ -68,9 +68,12 @@ def build_parser() -> argparse.ArgumentParser:
                    default=None)
     g.add_argument("--mesh-cohort", help="Mesh size over the cohort axis", type=int, default=1)
     g.add_argument("--mesh-shard", help="Mesh size over the marker-shard axis", type=int, default=None)
-    g.add_argument("--operator", default="dense", choices=["dense", "banded", "sym"],
-                   help="LD operator: dense, banded (block-banded einsum), or sym "
-                   "(pallas kernel over upper-triangle blocks; ~35%% less HBM)")
+    g.add_argument("--operator", default="dense",
+                   choices=["dense", "banded", "sym", "blocksparse"],
+                   help="LD operator: dense, banded (block-banded einsum), sym "
+                   "(pallas kernel over upper-triangle blocks; ~35%% less HBM), "
+                   "or blocksparse (arbitrary block coordinates - keeps "
+                   "long-range/out-of-band LD entries that banded/sym drop)")
     g.add_argument("--block-size", help="Banded operator block size", type=int, default=256)
     g.add_argument("--bandwidth", help="Banded operator half bandwidth (elements); auto if omitted",
                    type=int, default=None)
@@ -162,6 +165,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     from sgvamp_tpu.data import harmonize as hz
     from sgvamp_tpu.data import loaders
     from sgvamp_tpu.io.writers import OutputWriter
+    from sgvamp_tpu.utils.profiling import PhaseTimers, device_trace
+
+    timers = PhaseTimers()
 
     # -- parse values with reference semantics (src/main.py:53-97) --
     for flag, val in [("--ld-files", args.ld_files), ("--r-files", args.r_files),
@@ -235,6 +241,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     # -- harmonization (reference src/main.py:126-165) --
     ts = time.time()
+    timers.start("load/bim")
     if args.bim_files:
         bim_paths = args.bim_files.split(",")
         out_bim = os.path.join(args.out_dir, args.out_name + ".bim") if args.out_dir else None
@@ -247,18 +254,22 @@ def main(argv: Optional[List[str]] = None) -> int:
         panel = hz.identity_panel(M_list[0], K)
     M = panel.M
     log.info(f"Total number of markers in reference is {M}")
+    timers.stop("load/bim")
     log.debug(f"Handling .bim files took {time.time() - ts:.3f} seconds\n")
 
     # -- r vectors (reference src/main.py:176-194) --
     ts = time.time()
+    timers.start("load/r")
     rs = []
     for k in range(K):
         r_local = loaders.load_r(r_paths[k], M_list[k], N_list[k])
         rs.append(loaders.scatter_to_reference(r_local, panel.i_maps[k], M))
+    timers.stop("load/r")
     log.debug(f"Loading r vectors took {time.time() - ts:.3f} seconds\n")
 
     # -- LD matrices (reference src/main.py:199-263) --
     ts = time.time()
+    timers.start("load/R")
     B = args.block_size
     all_ld_tables = all(p.endswith(".ld") for p in ld_paths)
     all_sparse = all(p.endswith((".ld", ".npz")) for p in ld_paths)
@@ -304,9 +315,22 @@ def main(argv: Optional[List[str]] = None) -> int:
         vindex = {rs_: i for i, rs_ in enumerate(panel.variants)}
         Rs = [loaders.load_R(p, vindex) for p in ld_paths]
         if any(p.endswith(".ld") for p in ld_paths) and K > 1:
-            Rs, rs = loaders.fill_missing_from_source(Rs, rs, panel)
+            # sparse-level fill: never materializes K M x M dense matrices
+            Rs, rs = loaders.fill_missing_csr(Rs, rs, panel)
         rs = np.stack(rs)
-        if args.operator == "sym":
+        if args.operator == "blocksparse":
+            # built from the CSRs directly - keeps every entry of any
+            # sparsity pattern (the reference CSR path's capability,
+            # src/main.py:251-257) without materializing M x M
+            from sgvamp_tpu.core.operators import BlockSparseLD
+            op = BlockSparseLD.from_csr(
+                [loaders.as_csr(R, M) for R in Rs], block_size=B, s=s,
+                dtype=np.dtype(ld_dtype), M=M)
+            Mp = op.M
+            pad = Mp - M
+            log.info(f"Block-sparse LD: {op.nnzb} of {op.nb * op.nb} "
+                     f"({op.B}x{op.B}) blocks stored")
+        elif args.operator == "sym":
             # built from the CSRs directly - the dense stack is never needed
             # on this path (it would cost O(K*M^2) host memory at exactly
             # the large M the sym operator targets)
@@ -351,6 +375,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                          accum_dtype="" if ld_dtype == "float64" else "float32")
             pad, Mp = 0, M
     log.info(f"Loaded {K} LD matrices of shape ({M}, {M})")
+    timers.stop("load/R")
     log.debug(f"Loading R matrices took {time.time() - ts:.3f} seconds\n")
 
     # -- true signal (reference src/main.py:269-285; rank-0 N scaling) --
@@ -399,10 +424,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     log.info("...Running sgVAMP\n")
     ts = time.time()
-    prof_ctx = None
-    if args.profile_dir:
-        jax.profiler.start_trace(args.profile_dir)
-    try:
+    with device_trace(args.profile_dir), timers.phase("infer"):
         if bool(int(args.fused)):
             final_state, aux = engine.run_scan(iterations)
             if jax.process_count() > 1:
@@ -423,10 +445,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                 x0=x0, Nt=Nt, seed=args.seed, callback=cb, M_out=M,
                 it0=start_it,
             )
-    finally:
-        if args.profile_dir:
-            jax.profiler.stop_trace()
     log.info(f"sgVAMP inference running time: {time.time() - ts:0.4f}s\n")
+    log.debug(timers.report())
 
     # -- post-hoc metrics (reference src/main.py:326-338) --
     if x0 is not None and history.get("xhat1"):

@@ -24,7 +24,7 @@ All operators carry the `(1-s)*R + s*I` regularization as a scalar pair
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -225,6 +225,136 @@ class BandedLD:
                     out[:, i, d] = mats[:, i * B:(i + 1) * B, j * B:(j + 1) * B]
         return BandedLD(blocks=jnp.asarray(out), s=s,
                         accum_dtype="" if out.dtype == np.float64 else "float32")
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BlockSparseLD:
+    """Block-sparse LD operator: arbitrary (B, B) block coordinates.
+
+    The reference's CSR path holds ANY sparsity pattern - including
+    long-range LD (trans effects, inversions) far off the diagonal
+    (reference src/main.py:251-257). BandedLD drops such entries; this
+    operator keeps them as scattered dense blocks, the TPU-friendly
+    middle ground between banded storage and an O(M^2) dense stack:
+    only B x B tiles containing at least one nonzero are stored.
+
+    Storage (block coordinates shared across cohorts as the union of the
+    K patterns; cohorts lacking a block hold zeros there so the matvec
+    stays one batched einsum):
+
+      blocks: (K, nnzb, B, B)   dense tiles
+      rows:   (nnzb,) int32     block-row index of each tile
+      cols:   (nnzb,) int32     block-col index of each tile
+
+    matvec is gather (x blocks by `cols`) -> batched (B, B) @ (B,)
+    contraction -> scatter-add (by `rows`): MXU-shaped work of
+    O(nnzb * B^2) FLOPs regardless of where the blocks sit.
+    """
+
+    blocks: Array
+    rows: Array
+    cols: Array
+    nb: int = dataclasses.field(metadata=dict(static=True))
+    s: float = dataclasses.field(default=0.0, metadata=dict(static=True))
+    accum_dtype: str = dataclasses.field(default="", metadata=dict(static=True))
+
+    @property
+    def K(self) -> int:
+        return self.blocks.shape[0]
+
+    @property
+    def nnzb(self) -> int:
+        return self.blocks.shape[1]
+
+    @property
+    def B(self) -> int:
+        return self.blocks.shape[-1]
+
+    @property
+    def M(self) -> int:
+        return self.nb * self.B
+
+    def bytes_per_pass(self) -> int:
+        """HBM bytes of LD blocks read by one matvec (roofline accounting)."""
+        return self.blocks.size * self.blocks.dtype.itemsize
+
+    def matvec(self, x: Array) -> Array:
+        """R @ x rowwise; x may stack S right-hand sides per cohort along
+        the leading axis ((S*K, M)) - one fused pass serves all."""
+        K, nb, B = self.K, self.nb, self.B
+        S = x.shape[0] // K
+        xb = x.reshape(S, K, nb, B).astype(self.blocks.dtype)
+        xn = jnp.take(xb, self.cols, axis=2)            # (S, K, nnzb, B)
+        pet = jnp.dtype(self.accum_dtype) if self.accum_dtype else None
+        yn = jnp.einsum("knij,sknj->skni", self.blocks, xn,
+                        preferred_element_type=pet)
+        acc_dt = yn.dtype
+        yb = jnp.zeros((S, K, nb, B), acc_dt).at[:, :, self.rows].add(yn)
+        y = yb.reshape(x.shape).astype(x.dtype)
+        return _regularize(y, x, self.s)
+
+    def to_dense(self) -> Array:
+        """Materialize dense (K, M, M) - for tests only."""
+        K, nb, B = self.K, self.nb, self.B
+        out = np.zeros((K, self.M, self.M), dtype=np.asarray(self.blocks).dtype)
+        blocks = np.asarray(self.blocks)
+        rows = np.asarray(self.rows)
+        cols = np.asarray(self.cols)
+        for n in range(self.nnzb):
+            i, j = int(rows[n]), int(cols[n])
+            out[:, i * B:(i + 1) * B, j * B:(j + 1) * B] = blocks[:, n]
+        eye = np.eye(self.M, dtype=out.dtype)
+        return jnp.asarray((1.0 - self.s) * out + self.s * eye[None])
+
+    @staticmethod
+    def from_csr(Rs, block_size: int, s: float = 0.0, dtype=None,
+                 M: Optional[int] = None) -> "BlockSparseLD":
+        """Build from K scipy CSR/COO matrices without densifying M x M.
+
+        The block pattern is the union over cohorts, plus every diagonal
+        block (the unit diagonal / identity padding keeps A = gamw R +
+        gam2 I well-conditioned on padded markers).
+        """
+        import scipy.sparse
+
+        Rs = [R.tocoo() for R in Rs]
+        K = len(Rs)
+        if M is None:
+            M = Rs[0].shape[0]
+        B = block_size
+        pad = (-M) % B
+        Mp = M + pad
+        nb = Mp // B
+
+        # union pattern (always include the diagonal blocks)
+        keys = [np.arange(nb, dtype=np.int64) * nb + np.arange(nb)]
+        for R in Rs:
+            keys.append((R.row // B).astype(np.int64) * nb + (R.col // B))
+        uniq = np.unique(np.concatenate(keys))
+        rows = (uniq // nb).astype(np.int32)
+        cols = (uniq % nb).astype(np.int32)
+        nnzb = uniq.shape[0]
+
+        out_dtype = np.dtype(dtype) if dtype is not None else np.asarray(Rs[0].data).dtype
+        blocks = np.zeros((K, nnzb, B, B), out_dtype)
+        for k, R in enumerate(Rs):
+            key = (R.row // B).astype(np.int64) * nb + (R.col // B)
+            slot = np.searchsorted(uniq, key)
+            blocks[k, slot, R.row % B, R.col % B] = R.data
+        if pad:
+            # identity diagonal on padded markers (mask excludes them from
+            # all statistics; this only keeps the operator SPD)
+            dslot = np.searchsorted(uniq, np.arange(nb) * np.int64(nb) + np.arange(nb))
+            last = nb - 1
+            for p in range(pad):
+                idx = M + p
+                blocks[:, dslot[idx // B], idx % B, idx % B] = 1.0
+        return BlockSparseLD(
+            blocks=jnp.asarray(blocks), rows=jnp.asarray(rows),
+            cols=jnp.asarray(cols), nb=nb, s=s,
+            accum_dtype="" if out_dtype == np.float64 else "float32",
+        )
 
 
 def _shift_blocks(xb: Array, d: int) -> Array:

@@ -78,23 +78,27 @@ def harmonize(
         ref.iloc[:, :6].to_csv(out_bim_path, header=None, sep="\t", index=False)
 
     idx: Dict[str, int] = {rs: i for i, rs in enumerate(variants)}
-    variant_sets = [set(b["Variant"]) for b in bims]
     N_arr = np.asarray(N_list, dtype=np.float64)
 
-    i_maps, sources, missing = [], [], []
+    # Vectorized holder assignment (the reference loops Python-side per
+    # missing variant, src/main.py:156-164; at M~1M that is minutes). One
+    # (K, M) presence table + a masked argmax reproduces its choice - the
+    # largest-N holder, first cohort on ties - in O(K*M).
+    i_maps = [bims[k]["Variant"].map(idx).to_numpy(dtype=np.int64)
+              for k in range(K)]
+    present = np.zeros((K, M), dtype=bool)
     for k in range(K):
-        i_map = np.asarray([idx[rs] for rs in bims[k]["Variant"]], dtype=np.int64)
+        present[k, i_maps[k]] = True
+
+    sources, missing = [], []
+    for k in range(K):
         source = np.full(M, k, dtype=np.int64)
-        miss = []
-        for rs in set(variants) - variant_sets[k]:
-            holders = [j for j in range(K) if j != k and rs in variant_sets[j]]
-            # Reference picks the holder with the largest N (src/main.py:163).
-            best = holders[int(np.argmax(N_arr[holders]))]
-            source[idx[rs]] = best
-            miss.append(idx[rs])
-        i_maps.append(i_map)
+        miss = np.flatnonzero(~present[k])
+        if miss.size:
+            scores = np.where(present[:, miss], N_arr[:, None], -np.inf)
+            source[miss] = np.argmax(scores, axis=0)
         sources.append(source)
-        missing.append(np.asarray(sorted(miss), dtype=np.int64))
+        missing.append(miss.astype(np.int64))
     return HarmonizedPanel(
         variants=variants, M=M, bim_ref=ref, i_maps=i_maps,
         sources=sources, missing=missing,

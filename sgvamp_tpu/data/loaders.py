@@ -102,6 +102,53 @@ def load_R(path: str, variant_index: Optional[dict] = None):
     raise ValueError(f"Unsupported R matrix format: {path}")
 
 
+def as_csr(R, M: Optional[int] = None):
+    """CSR view of anything load_R returns (sparse matrix or dense .npy)."""
+    if scipy.sparse.issparse(R):
+        return R.tocsr()
+    return scipy.sparse.csr_matrix(np.asarray(R))
+
+
+def fill_missing_csr(
+    Rs: List, rs: List[np.ndarray], panel: HarmonizedPanel
+) -> Tuple[List, List[np.ndarray]]:
+    """Sparse missing-SNP fill: fill_missing_from_source semantics without
+    ever materializing an M x M dense matrix (O(K * nnz) instead of
+    O(K * M^2) memory - the fill the large-M paths need).
+
+    For cohort k's missing indices assigned to source cohort j, cohort j's
+    LD rows AND columns at those indices replace whatever cohort k had
+    there (assignment semantics: later sources overwrite earlier ones on
+    row/column intersections, exactly like the dense version's sequential
+    row-then-column assignment).
+    """
+    K = len(Rs)
+    out_R, out_r = [], []
+    for k in range(K):
+        A = as_csr(Rs[k]).tocoo()
+        M = A.shape[0]
+        row, col, dat = A.row, A.col, A.data
+        r_k = np.array(rs[k], copy=True)
+        for j in range(K):
+            if j == k:
+                continue
+            take = panel.missing[k][panel.sources[k][panel.missing[k]] == j]
+            if take.size == 0:
+                continue
+            in_take = np.zeros(M, dtype=bool)
+            in_take[take] = True
+            keep = ~(in_take[row] | in_take[col])
+            Bj = as_csr(Rs[j]).tocoo()
+            sel = in_take[Bj.row] | in_take[Bj.col]
+            row = np.concatenate([row[keep], Bj.row[sel]])
+            col = np.concatenate([col[keep], Bj.col[sel]])
+            dat = np.concatenate([dat[keep], Bj.data[sel]])
+            r_k[take] = np.asarray(rs[j])[take]
+        out_R.append(scipy.sparse.csr_matrix((dat, (row, col)), shape=(M, M)))
+        out_r.append(r_k)
+    return out_R, out_r
+
+
 def fill_missing_from_source(
     Rs: List, rs: List[np.ndarray], panel: HarmonizedPanel
 ) -> Tuple[List, List[np.ndarray]]:

@@ -76,9 +76,36 @@ def spec_for(shape: tuple, mesh: Mesh) -> P:
 
 def shard_inputs(inputs, mesh: Mesh):
     """Place VampInputs on the mesh (see sgvamp_tpu.core.vamp.VampInputs)."""
-    op = jax.tree_util.tree_map(
-        lambda x: _put(x, mesh, spec_for(x.shape, mesh)), inputs.op
-    )
+    from sgvamp_tpu.core.operators import BlockSparseLD
+
+    if isinstance(inputs.op, BlockSparseLD):
+        # the block list shards over its nnzb axis; pad it to a shard-axis
+        # multiple with all-zero blocks (they scatter zeros into row 0 -
+        # a no-op) so any pattern size divides evenly
+        n_shard = mesh.shape[SHARD_AXIS]
+        rem = inputs.op.nnzb % n_shard
+        if rem:
+            import jax.numpy as jnp
+            padn = n_shard - rem
+            inputs = dataclasses.replace(
+                inputs,
+                op=dataclasses.replace(
+                    inputs.op,
+                    blocks=jnp.pad(inputs.op.blocks,
+                                   ((0, 0), (0, padn), (0, 0), (0, 0))),
+                    rows=jnp.pad(inputs.op.rows, (0, padn)),
+                    cols=jnp.pad(inputs.op.cols, (0, padn)),
+                ),
+            )
+
+    def place_op_leaf(x):
+        # integer leaves are index tables (e.g. BlockSparseLD.rows/cols),
+        # not marker data: replicate them
+        if np.issubdtype(np.dtype(x.dtype), np.integer):
+            return _put(x, mesh, P())
+        return _put(x, mesh, spec_for(x.shape, mesh))
+
+    op = jax.tree_util.tree_map(place_op_leaf, inputs.op)
     mask = inputs.mask
     if mask is not None:
         mask = _put(mask, mesh, P(SHARD_AXIS))

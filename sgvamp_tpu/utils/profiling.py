@@ -24,17 +24,29 @@ class PhaseTimers:
     def __init__(self) -> None:
         self.totals: Dict[str, float] = {}
         self.counts: Dict[str, int] = {}
+        self._open: Dict[str, float] = {}
 
     @contextlib.contextmanager
     def phase(self, name: str) -> Iterator[None]:
-        t0 = time.perf_counter()
+        self.start(name)
         try:
             yield
         finally:
-            dt = time.perf_counter() - t0
-            self.totals[name] = self.totals.get(name, 0.0) + dt
-            self.counts[name] = self.counts.get(name, 0) + 1
-            logger.debug(f"[timer] {name}: {dt:.4f}s")
+            self.stop(name)
+
+    def start(self, name: str) -> None:
+        """Explicit begin/end API for phases that span linear driver code
+        where a `with` block would force awkward nesting."""
+        self._open[name] = time.perf_counter()
+
+    def stop(self, name: str) -> None:
+        t0 = self._open.pop(name, None)
+        if t0 is None:
+            return
+        dt = time.perf_counter() - t0
+        self.totals[name] = self.totals.get(name, 0.0) + dt
+        self.counts[name] = self.counts.get(name, 0) + 1
+        logger.debug(f"[timer] {name}: {dt:.4f}s")
 
     def report(self) -> str:
         lines = [

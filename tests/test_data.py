@@ -146,6 +146,37 @@ def test_fill_missing_from_source():
     np.testing.assert_allclose(filled[1], R1)
 
 
+def test_fill_missing_csr_matches_dense_fill():
+    """The sparse-level fill (no M x M densification) must reproduce
+    fill_missing_from_source exactly, including overwrite semantics on
+    row/column intersections across multiple source cohorts."""
+    rng = np.random.default_rng(5)
+    M, K = 32, 3
+    panel = hz.identity_panel(M, K)
+    # cohort 0 misses a scattered set, sourced from cohorts 1 AND 2
+    miss = np.asarray([3, 7, 20, 31])
+    panel.missing[0] = miss
+    panel.sources[0][[3, 20]] = 1
+    panel.sources[0][[7, 31]] = 2
+    Rs_dense, rs = [], []
+    for k in range(K):
+        A = rng.normal(size=(M, M)) * (rng.random((M, M)) < 0.2)
+        A = (A + A.T) / 2
+        np.fill_diagonal(A, 1.0)
+        Rs_dense.append(A)
+        rs.append(rng.normal(size=M))
+    want_R, want_r = loaders.fill_missing_from_source(
+        [R.copy() for R in Rs_dense], [r.copy() for r in rs], panel)
+    got_R, got_r = loaders.fill_missing_csr(
+        [scipy.sparse.csr_matrix(R) for R in Rs_dense],
+        [r.copy() for r in rs], panel)
+    for k in range(K):
+        assert scipy.sparse.issparse(got_R[k]), "fill must stay sparse"
+        np.testing.assert_allclose(got_R[k].toarray(), np.asarray(want_R[k]),
+                                   atol=1e-15)
+        np.testing.assert_allclose(got_r[k], want_r[k])
+
+
 # ---------------------------------------------------------------------------
 # true signal
 # ---------------------------------------------------------------------------
