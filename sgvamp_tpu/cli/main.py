@@ -229,15 +229,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         from sgvamp_tpu.parallel.sharding import make_mesh
         mesh = make_mesh(args.mesh_cohort, args.mesh_shard)
         log.info(f"Running on mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}")
-    if args.operator == "sym" and mesh is not None:
-        from sgvamp_tpu.parallel.sharding import SHARD_AXIS
-        if dict(zip(mesh.axis_names, mesh.devices.shape)).get(SHARD_AXIS, 1) > 1:
-            # The sym kernel's (K, nb, hb+1, B, B) upper storage does not
-            # shard over block rows (its pallas grid is single-device);
-            # the banded einsum operator is the sharded fast path.
-            log.info("WARNING: --operator sym does not support marker-axis "
-                     "sharding; falling back to the banded operator")
-            args.operator = "banded"
+    # --operator sym under a marker-shard mesh runs the pallas kernel as a
+    # shard_map (halo + mirror-spill ppermutes); shard_inputs pins the mesh
+    # on the operator, no fallback needed.
 
     # -- harmonization (reference src/main.py:126-165) --
     ts = time.time()

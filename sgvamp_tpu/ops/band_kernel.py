@@ -11,12 +11,16 @@ contributions
     y_{i+d} += U[i, d]^T @ x_i        (mirrored column, d > 0)
 
 so HBM traffic per matvec is (hb+1)/(2hb+1) of the full-band operator -
-approaching half for wide bands - while x and y stay VMEM-resident
-(supports M up to ~1M per core at S=2 RHS in f32). The d-loop is a static
-unroll of MXU matmuls; the pallas pipeline double-buffers the U block rows.
+approaching half for wide bands. The d-loop is a static unroll of MXU
+matmuls; the pallas pipeline double-buffers the U block rows.
 
-This is the single-chip hot path; the sharded path uses the XLA einsum
-operator (core/operators.py::BandedLD) whose collectives XLA manages.
+Two flavors share the storage format (SymBandedLD.mode picks, "auto" by
+shape): the RESIDENT kernel above keeps x and y whole in VMEM (fastest,
+caps at ~600k markers at S=2); the STREAMED kernel below chunks x/y over
+HBM with a VMEM carry for chunk-crossing mirrors, so M is unbounded, and
+its spill=True variant is the per-shard body of the shard_map path
+(SymBandedLD.mesh) that marker-shards the kernel across devices with
+halo + mirror-spill ppermutes.
 
 Measured at M=512k, bandwidth 256, B=256 on one TPU v5e (chained in-device
 matvecs): bf16 upper blocks 0.94 ms/pass (vs 1.28-1.34 ms for the full-band
@@ -99,6 +103,162 @@ def _sym_band_kernel(ub_ref, x_ref, y_ref, *, hb: int, B: int, nb: int, G: int,
             per_diagonal(row, g, x_i)
 
 
+def _sym_band_kernel_streamed(ub_ref, xc_ref, xn_ref, y_ref, cout_ref,
+                              cin_ref, carry_ref, *, hb: int, B: int, nb: int,
+                              G: int, S: int, spill: bool):
+    """Streamed flavor: x and y are chunked over HBM instead of living whole
+    in VMEM, so M is unbounded (the resident kernel caps at ~600k markers).
+
+    Grid is (K, C): per cohort k, chunks of G block rows walk sequentially.
+    Row g's output is GATHERED in one pass (row part U[g,d] @ x_{g+d},
+    in-chunk mirrors U[g-d,d]^T @ x_{g-d}) and stored once - no VMEM
+    read-modify-write on a resident y. Mirror contributions that cross the
+    chunk boundary (target rows in chunk c+1) accumulate into a (S, hb*B)
+    VMEM carry that the next chunk folds into its rows; because the grid is
+    sequential per cohort this is race-free, and HBM traffic stays at
+    one read of the upper blocks + ~2 reads of x + 1 write of y.
+
+    spill=True (the sharded path): x is halo-extended by the caller with
+    the next shard's first hb blocks (padded to a whole chunk), tail
+    mirrors are NOT dropped at the local boundary, and the final carry -
+    this shard's contribution to the next shard's first hb*B markers - is
+    exported through cout for a ppermute+add by the wrapper.
+    """
+    c = pl.program_id(1)
+    C = pl.num_programs(1)
+    acc_dt = jnp.promote_types(xc_ref.dtype, jnp.float32)
+
+    @pl.when(c == 0)
+    def _():
+        carry_ref[...] = jnp.zeros_like(carry_ref)
+
+    cin_ref[...] = carry_ref[...]
+    carry_ref[...] = jnp.zeros_like(carry_ref)
+
+    def xblk(local):
+        # x block for local row index in [0, 2G): current or next chunk.
+        if local < G:
+            return xc_ref[0, :, pl.ds(local * B, B)]
+        return xn_ref[0, :, pl.ds((local - G) * B, B)]
+
+    # Row part reads x up to hb blocks past the chunk; without spill those
+    # reads land past nb only in the very last chunk (where the clamped
+    # x_next holds stale-but-finite data), so the contribution is zeroed.
+    not_last = (c < C - 1).astype(acc_dt)
+
+    for g in range(G):
+        x_g = xblk(g)
+        acc = jnp.zeros((S, B), acc_dt)
+        if hb > 0 and g < hb:
+            acc += cin_ref[:, pl.ds(g * B, B)]
+        for d in range(hb + 1):
+            Ud = ub_ref[0, g, d]
+            contrib = jnp.dot(xblk(g + d), Ud.T, preferred_element_type=acc_dt)
+            if g + d >= G and not spill:
+                contrib = contrib * not_last
+            acc += contrib
+        for d in range(1, hb + 1):
+            p = g - d
+            if p >= 0:
+                acc += jnp.dot(xblk(p), ub_ref[0, p, d],
+                               preferred_element_type=acc_dt)
+        y_ref[0, :, pl.ds(g * B, B)] = acc.astype(y_ref.dtype)
+        for d in range(1, hb + 1):
+            if g + d >= G:
+                mirror = jnp.dot(x_g, ub_ref[0, g, d],
+                                 preferred_element_type=acc_dt)
+                if not spill:
+                    mirror = mirror * not_last
+                carry_ref[:, pl.ds((g + d - G) * B, B)] += mirror
+
+    @pl.when(c == C - 1)
+    def _():
+        cout_ref[0] = carry_ref[...].astype(cout_ref.dtype)
+
+
+def _pick_chunk_rows(nb: int, hb: int, panel_bytes_per_row: int,
+                     stream_bytes_per_row: int) -> int:
+    """Largest divisor of nb (capped at 32 to bound unroll size) whose
+    double-buffered panels fit the VMEM budget, subject to G >= hb (the
+    carry reaches at most one chunk ahead)."""
+    best = nb  # fallback: single chunk
+    for g in range(min(nb, 32), 0, -1):
+        if nb % g:
+            continue
+        need = 2 * g * (panel_bytes_per_row + stream_bytes_per_row)
+        if g >= hb and need <= _VMEM_BUDGET:
+            return g
+        if g >= hb:
+            best = g
+    return best
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nb", "interpret", "rows_per_step", "spill"))
+def _sym_band_matvec_streamed(ub: Array, x: Array, nb: int,
+                              interpret: bool = False, rows_per_step: int = 0,
+                              spill: bool = False):
+    """(y, carry_out) = streamed symmetric block-banded matvec.
+
+    ub: (K, nb, hb+1, B, B) upper blocks; x: (K, S, Mx) where Mx = nb*B,
+    or (nb + G)*B when spill=True (halo-extended by the caller).
+    y: (K, S, nb*B) in f32; carry_out: (K, S, max(hb,1)*B) mirror spill
+    past the last local row (zeros unless spill=True).
+    """
+    K, nb_u, hbp1, B, _ = ub.shape
+    assert nb_u == nb
+    hb = hbp1 - 1
+    S = x.shape[1]
+    out_dt = jnp.promote_types(x.dtype, jnp.float32)
+    hbB = max(hb, 1) * B
+    panel_row = hbp1 * B * B * ub.dtype.itemsize
+    stream_row = S * B * (3 * x.dtype.itemsize + jnp.dtype(out_dt).itemsize)
+    G = rows_per_step or _pick_chunk_rows(nb, hb, panel_row, stream_row)
+    if nb % G or G < hb:
+        raise ValueError(f"rows_per_step={G} must divide nb={nb} and be >= hb={hb}")
+    C = nb // G
+    Cx = x.shape[2] // (G * B)
+    if spill and x.shape[2] != (nb + G) * B:
+        raise ValueError("spill=True needs x halo-extended to (nb + G) * B")
+    kernel = functools.partial(_sym_band_kernel_streamed, hb=hb, B=B, nb=nb,
+                               G=G, S=S, spill=spill)
+    return pl.pallas_call(
+        kernel,
+        grid=(K, C),
+        in_specs=[
+            pl.BlockSpec((1, G, hbp1, B, B), lambda k, c: (k, c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, G * B), lambda k, c: (k, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, G * B),
+                         lambda k, c: (k, 0, jnp.minimum(c + 1, Cx - 1)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, S, G * B), lambda k, c: (k, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, hbB), lambda k, c: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((K, S, nb * B), out_dt),
+            jax.ShapeDtypeStruct((K, S, hbB), out_dt),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((S, hbB), out_dt),
+            pltpu.VMEM((S, hbB), out_dt),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * K * nb * hbp1 * B * B * S,
+            bytes_accessed=(ub.size * ub.dtype.itemsize
+                            + 2 * x.size * x.dtype.itemsize
+                            + K * S * nb * B * jnp.dtype(out_dt).itemsize),
+            transcendentals=0,
+        ),
+    )(ub, x, x)
+
+
 _VMEM_BUDGET = 14 << 20  # stay under the ~16MiB scoped-vmem limit with slack
 
 
@@ -167,6 +327,14 @@ class SymBandedLD:
     s: float = dataclasses.field(default=0.0, metadata=dict(static=True))
     rows_per_step: int = dataclasses.field(default=0, metadata=dict(static=True))
     window: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    # "auto" picks resident (x/y whole in VMEM) when it fits the scoped
+    # VMEM limit and the streamed kernel above it; "resident"/"streamed"
+    # force one flavor (tests / A-B benchmarks).
+    mode: str = dataclasses.field(default="auto", metadata=dict(static=True))
+    # When set, matvec runs as an SPMD shard_map over this mesh's marker-
+    # shard axis: block rows are sharded, x halo blocks ride a ppermute
+    # right-to-left, and the mirror spill rides a ppermute left-to-right.
+    mesh: object = dataclasses.field(default=None, metadata=dict(static=True))
 
     @property
     def K(self) -> int:
@@ -205,15 +373,84 @@ class SymBandedLD:
         S = x.shape[0] // K
         interpret = jax.default_backend() != "tpu"
         xs = x.reshape(S, K, self.M).transpose(1, 0, 2)  # (K, S, M)
-        y = jax.vmap(lambda ub, xv: _sym_band_matvec(
-            ub, xv, interpret=interpret, rows_per_step=self.rows_per_step,
-            window=self.window))(
-            self.upper, xs.astype(self.upper.dtype)
-        )
+        xs = xs.astype(self.upper.dtype)
+        if self.mesh is not None:
+            y = self._matvec_sharded(xs, interpret)
+        elif self._use_resident(S, x.dtype.itemsize):
+            y = jax.vmap(lambda ub, xv: _sym_band_matvec(
+                ub, xv, interpret=interpret, rows_per_step=self.rows_per_step,
+                window=self.window))(self.upper, xs)
+        else:
+            y, _ = _sym_band_matvec_streamed(
+                self.upper, xs, self.nb, interpret=interpret,
+                rows_per_step=self.rows_per_step)
         y = y.transpose(1, 0, 2).reshape(x.shape).astype(x.dtype)
         if self.s != 0.0:
             y = (1.0 - self.s) * y + self.s * x
         return y
+
+    def _use_resident(self, S: int, x_itemsize: int) -> bool:
+        if self.mode == "resident":
+            return True
+        if self.mode == "streamed":
+            return False
+        return SymBandedLD.fits_vmem(self.M, S, self.upper.dtype.itemsize)
+
+    def _matvec_sharded(self, xs: Array, interpret: bool) -> Array:
+        """SPMD matvec over the mesh's marker-shard axis (shard_map).
+
+        Each shard owns a contiguous run of block rows plus the matching
+        slice of x. The symmetric storage needs (a) the next shard's first
+        hb x-blocks as a halo (ppermute toward lower shard ids) and (b) a
+        mirror-spill exchange: contributions U[i,d]^T x_i whose target row
+        lives on the next shard travel as the kernel's carry output
+        (ppermute toward higher shard ids) and add into that shard's first
+        hb*B outputs. Wraparound legs carry exact zeros because the upper
+        blocks past the global end are zero.
+        """
+        import functools as _ft
+
+        try:
+            from jax import shard_map as _sm
+            shard_map = _ft.partial(_sm, check_vma=False)
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map as _sm
+            shard_map = _ft.partial(_sm, check_rep=False)
+        from jax.sharding import PartitionSpec as P
+
+        from sgvamp_tpu.parallel.sharding import COHORT_AXIS, SHARD_AXIS
+
+        mesh = self.mesh
+        n = mesh.shape[SHARD_AXIS]
+        hb, B, nb = self.hb, self.B, self.nb
+        if nb % n:
+            raise ValueError(f"nb={nb} not divisible by shard axis {n}")
+        nb_l = nb // n
+        right_to_left = [((i + 1) % n, i) for i in range(n)]
+        left_to_right = [(i, (i + 1) % n) for i in range(n)]
+
+        def local_fn(ub_l, x_l):
+            K_l, S, M_l = x_l.shape
+            panel_row = (hb + 1) * B * B * ub_l.dtype.itemsize
+            stream_row = S * B * (3 * x_l.dtype.itemsize + 4)
+            G = self.rows_per_step or _pick_chunk_rows(nb_l, hb, panel_row,
+                                                       stream_row)
+            hbB = max(hb, 1) * B
+            halo = jax.lax.ppermute(x_l[:, :, :hbB], SHARD_AXIS, right_to_left)
+            pad = jnp.zeros((K_l, S, G * B - hbB), x_l.dtype)
+            x_ext = jnp.concatenate([x_l, halo, pad], axis=2)
+            y_l, spill = _sym_band_matvec_streamed(
+                ub_l, x_ext, nb_l, interpret=interpret, rows_per_step=G,
+                spill=True)
+            incoming = jax.lax.ppermute(spill, SHARD_AXIS, left_to_right)
+            return y_l.at[:, :, :hbB].add(incoming)
+
+        return shard_map(
+            local_fn, mesh=mesh,
+            in_specs=(P(COHORT_AXIS, SHARD_AXIS, None, None, None),
+                      P(COHORT_AXIS, None, SHARD_AXIS)),
+            out_specs=P(COHORT_AXIS, None, SHARD_AXIS),
+        )(self.upper, xs)
 
     @staticmethod
     def from_band(band: "np.ndarray", block_size: int, K: int = 1,

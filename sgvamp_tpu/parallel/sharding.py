@@ -77,6 +77,26 @@ def spec_for(shape: tuple, mesh: Mesh) -> P:
 def shard_inputs(inputs, mesh: Mesh):
     """Place VampInputs on the mesh (see sgvamp_tpu.core.vamp.VampInputs)."""
     from sgvamp_tpu.core.operators import BlockSparseLD
+    from sgvamp_tpu.ops.band_kernel import SymBandedLD
+
+    if isinstance(inputs.op, SymBandedLD) and mesh.shape[SHARD_AXIS] > 1:
+        # the pallas kernel runs as a shard_map over the marker axis (halo
+        # ppermute for x, carry ppermute for the mirror spill) - it needs
+        # the mesh at trace time, so pin it on the operator here
+        n_shard = mesh.shape[SHARD_AXIS]
+        if inputs.op.nb % n_shard:
+            raise ValueError(
+                f"sym operator: {inputs.op.nb} block rows not divisible by "
+                f"the {n_shard}-way marker-shard axis")
+        if inputs.op.nb // n_shard < inputs.op.hb:
+            raise ValueError(
+                f"sym operator: shard width {inputs.op.nb // n_shard} block "
+                f"rows is narrower than the block half-bandwidth "
+                f"{inputs.op.hb} - halo/spill exchange only reaches one "
+                f"neighbor; use fewer shards, a wider block size, or the "
+                f"banded operator")
+        inputs = dataclasses.replace(
+            inputs, op=dataclasses.replace(inputs.op, mesh=mesh))
 
     if isinstance(inputs.op, BlockSparseLD):
         # the block list shards over its nnzb axis; pad it to a shard-axis

@@ -76,6 +76,27 @@ def test_cli_banded_operator_matches_dense(sim_dir, tmp_path):
     np.testing.assert_allclose(outs["sym"], outs["dense"], rtol=1e-8, atol=1e-12)
 
 
+def test_cli_sym_operator_sharded_matches_unsharded(sim_dir, tmp_path):
+    """--operator sym with a marker-shard mesh runs the pallas kernel under
+    shard_map (halo/spill ppermutes) and must reproduce the unsharded run."""
+    outs = {}
+    for name, extra in [("plain", []), ("sharded", ["--mesh-shard", "2"])]:
+        out = tmp_path / name
+        rc = cli_main.main([
+            "--ld-files", str(sim_dir / "sim_R.npy"),
+            "--r-files", str(sim_dir / "sim_r.npy"),
+            "--out-dir", str(out), "--out-name", "t",
+            "--N", "1500", "--M", "200", "--iterations", "3",
+            "--s", "0.1", "--platform", "cpu", "--x64", "1",
+            "--operator", "sym", "--block-size", "64", "--bandwidth", "100",
+            "--seed", "7", *extra,
+        ])
+        assert rc == 0
+        outs[name] = np.fromfile(out / "t_xhat_it_2.bin", dtype="<f8")
+    np.testing.assert_allclose(outs["sharded"], outs["plain"],
+                               rtol=1e-10, atol=1e-13)
+
+
 def test_cli_ld_dtype_bf16(sim_dir, tmp_path):
     """--ld-dtype bfloat16 stores LD blocks at half width (f32 accumulate);
     the run must stay close to the float32 run on an easy problem."""

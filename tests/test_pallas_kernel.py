@@ -79,6 +79,101 @@ def test_bf16_storage_f32_accumulate():
     np.testing.assert_allclose(y[:, :M] / scale, want / scale, atol=2e-2)
 
 
+@pytest.mark.parametrize("B,bw,G", [(128, 48, 0), (128, 200, 0), (256, 100, 0),
+                                    (128, 200, 2), (128, 48, 2), (128, 100, 3)])
+def test_streamed_matches_dense(B, bw, G):
+    """The streamed (HBM-chunked x/y + carry) kernel must equal the dense
+    result at every chunk size, including G=hb edge chunking where every
+    mirror crosses a chunk boundary through the carry."""
+    rng = np.random.default_rng(4)
+    M = 700
+    band, _, _ = simulate_ld_band(10000, M, bandwidth=bw, rng=rng,
+                                  dtype=np.float64)
+    R = band_to_dense(band)
+    op = dataclasses.replace(
+        SymBandedLD.from_band(band, block_size=B, s=0.1),
+        mode="streamed", rows_per_step=G)
+    x = rng.normal(size=(2, op.M))
+    y = np.asarray(op.matvec(jnp.asarray(x)))
+    want = x[:, :M] @ (0.9 * R + 0.1 * np.eye(M)).T
+    np.testing.assert_allclose(y[:, :M], want, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(y[:, M:], x[:, M:], atol=1e-12)
+
+
+def test_streamed_matches_dense_K2():
+    """K cohorts ride the leading grid axis; the carry must reset between
+    cohorts (row 0 of cohort k+1 must not absorb cohort k's tail spill)."""
+    rng = np.random.default_rng(5)
+    M, B, bw = 512, 128, 96
+    bands = [simulate_ld_band(10000, M, bandwidth=bw, rng=rng,
+                              dtype=np.float64)[0] for _ in range(2)]
+    ops = [SymBandedLD.from_band(b, block_size=B) for b in bands]
+    op = dataclasses.replace(
+        ops[0], upper=jnp.concatenate([o.upper for o in ops], axis=0),
+        mode="streamed")
+    x = rng.normal(size=(4, op.M))  # S=2 RHS x K=2 cohorts
+    y = np.asarray(op.matvec(jnp.asarray(x)))
+    for k, band in enumerate(bands):
+        R = band_to_dense(band)
+        for s in range(2):
+            np.testing.assert_allclose(y[s * 2 + k], x[s * 2 + k] @ R.T,
+                                       rtol=1e-10, atol=1e-12)
+
+
+def test_streamed_diagonal_only_band():
+    """hb=0 (bandwidth fits inside a block... bandwidth 0): no mirrors, no
+    carry traffic - the degenerate shape must still be correct."""
+    rng = np.random.default_rng(6)
+    M, B = 384, 128
+    band = rng.normal(size=(M, 1))
+    op = dataclasses.replace(SymBandedLD.from_band(band, block_size=B),
+                             mode="streamed")
+    assert op.hb == 0
+    x = rng.normal(size=(2, M))
+    y = np.asarray(op.matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(y, x * band[:, 0], rtol=1e-12, atol=1e-13)
+
+
+def test_streamed_spill_two_shard_composition():
+    """spill=True contract used by the sharded path: running the kernel on
+    two half-panels with halo-extended x and adding the exported carry into
+    the next shard's head must reproduce the whole-panel matvec."""
+    from sgvamp_tpu.ops.band_kernel import _sym_band_matvec_streamed
+
+    rng = np.random.default_rng(7)
+    M, B, bw = 1024, 128, 200
+    band, _, _ = simulate_ld_band(10000, M, bandwidth=bw, rng=rng,
+                                  dtype=np.float64)
+    op = SymBandedLD.from_band(band, block_size=B)
+    nb, hb = op.nb, op.hb
+    nb_l = nb // 2
+    x = rng.normal(size=(1, 2, M))
+    xj = jnp.asarray(x)
+    G = 4
+    hbB = max(hb, 1) * B
+    ys, spills = [], []
+    for sh in range(2):
+        ub_l = op.upper[:, sh * nb_l:(sh + 1) * nb_l]
+        x_l = xj[:, :, sh * nb_l * B:(sh + 1) * nb_l * B]
+        if sh == 0:
+            halo = xj[:, :, nb_l * B:nb_l * B + hbB]
+        else:
+            halo = jnp.zeros((1, 2, hbB))  # wraparound leg: zeros
+        pad = jnp.zeros((1, 2, G * B - hbB))
+        x_ext = jnp.concatenate([x_l, halo, pad], axis=2)
+        y_l, spill = _sym_band_matvec_streamed(ub_l, x_ext, nb_l,
+                                               interpret=True,
+                                               rows_per_step=G, spill=True)
+        ys.append(y_l)
+        spills.append(spill)
+    y1 = ys[1].at[:, :, :hbB].add(spills[0])
+    got = np.concatenate([np.asarray(ys[0]), np.asarray(y1)], axis=2)[0]
+    want = np.asarray(op.matvec(xj.reshape(2, M)))
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+    # the last shard's spill leaves the global panel: must be exact zeros
+    np.testing.assert_allclose(np.asarray(spills[1]), 0.0, atol=0.0)
+
+
 def test_matches_banded_operator_in_engine():
     """Full engine equivalence: SymBandedLD vs BandedLD trajectories."""
     rng = np.random.default_rng(1)

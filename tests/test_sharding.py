@@ -103,6 +103,62 @@ def test_sharded_banded_with_mask_matches_unsharded():
                                    rtol=1e-11, atol=1e-13)
 
 
+@pytest.mark.parametrize("mesh_shape", [(1, 4), (1, 2)])
+def test_sharded_sym_kernel_matches_unsharded(mesh_shape):
+    """The pallas sym kernel's shard_map path (halo ppermute + mirror-spill
+    ppermute over the marker axis) must reproduce the unsharded trajectory."""
+    from sgvamp_tpu.ops.band_kernel import SymBandedLD
+
+    rng = np.random.default_rng(9)
+    N, M, lam, h2 = 20000, 512, 0.1, 0.7
+    band, r, x0 = simulate_ld_band(N, M, bandwidth=100, rng=rng,
+                                   dtype=np.float64, h2=h2, lam=lam)
+    op = SymBandedLD.from_band(band, block_size=64)  # nb=8, hb=2
+    cfg = VampConfig(prior_update="em", dtype="float64", cg_maxit=300,
+                     cg_rtol=1e-10)
+    prior = PriorState.create(lam, [1.0], [h2 / int(M * lam) * N])
+    inputs = VampInputs(op=op, r=jnp.asarray(r, jnp.float64)[None],
+                        a=jnp.asarray([1.0]), N=jnp.asarray([float(N)]))
+    ref = VampEngine(inputs, cfg, prior).run(3, seed=2)
+    mesh = make_mesh(*mesh_shape)
+    sharded_inputs = shard_inputs(inputs, mesh)
+    assert sharded_inputs.op.mesh is mesh  # shard_map path engaged
+    got = VampEngine(inputs, cfg, prior, mesh=mesh).run(3, seed=2)
+    for it in range(3):
+        np.testing.assert_allclose(got["xhat1"][it], ref["xhat1"][it],
+                                   rtol=1e-11, atol=1e-13)
+        np.testing.assert_allclose(np.asarray(got["params"][it]),
+                                   np.asarray(ref["params"][it]), rtol=1e-9)
+
+
+def test_sharded_sym_multicohort_matches_unsharded():
+    """Sym kernel sharded over BOTH axes: K=2 cohorts on the cohort axis,
+    block rows on the marker axis."""
+    from sgvamp_tpu.ops.band_kernel import SymBandedLD
+
+    rng = np.random.default_rng(10)
+    N, M, lam, h2 = 20000, 512, 0.1, 0.7
+    bands, rs = [], []
+    for _ in range(2):
+        band, r, _ = simulate_ld_band(N, M, bandwidth=48, rng=rng,
+                                      dtype=np.float64, h2=h2, lam=lam)
+        bands.append(band)
+        rs.append(r)
+    ops = [SymBandedLD.from_band(b, block_size=64) for b in bands]
+    op = SymBandedLD(upper=jnp.concatenate([o.upper for o in ops], axis=0))
+    cfg = VampConfig(prior_update="em", dtype="float64", cg_maxit=300,
+                     cg_rtol=1e-10)
+    Nt = 2.0 * N
+    prior = PriorState.create(lam, [1.0], [h2 / int(M * lam) * Nt])
+    inputs = VampInputs(op=op, r=jnp.asarray(np.stack(rs)),
+                        a=jnp.full((2,), 0.5), N=jnp.full((2,), float(N)))
+    ref = VampEngine(inputs, cfg, prior).run(3, seed=3)
+    got = VampEngine(inputs, cfg, prior, mesh=make_mesh(2, 4)).run(3, seed=3)
+    for it in range(3):
+        np.testing.assert_allclose(got["xhat1"][it], ref["xhat1"][it],
+                                   rtol=1e-11, atol=1e-13)
+
+
 def test_graft_entry_and_dryrun():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as g

@@ -1,0 +1,119 @@
+"""A/B timing harness for the LD-operator kernels on the real TPU chip.
+
+Times chained in-device matvec passes (lax.fori_loop inside one jit, so
+per-call dispatch overhead - milliseconds over the remote tunnel - is
+excluded; this is the number that matters inside the fused CG loop).
+
+Usage:
+  python tools/kernel_bench.py [--M 524288] [--bandwidth 256] [--B 256]
+      [--K 1] [--S 2] [--passes 50] [--dtype bfloat16]
+      [--variants resident8,resident16,streamed16,...]
+
+Prints one JSON line per variant: {"variant": ..., "ms_per_pass": ...,
+"GBps": <upper-block HBM bytes / pass time>}.
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build(M, bandwidth, seed=0):
+    import os
+
+    from sgvamp_tpu.data.simulate import simulate_ld_band
+
+    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         f".bench_problem_M{M}_bw{bandwidth}_s{seed}.npz")
+    if os.path.exists(cache):
+        with np.load(cache) as d:
+            return d["band"]
+    rng = np.random.default_rng(seed)
+    band, _, _ = simulate_ld_band(300000, M, bandwidth, h2=0.7, lam=0.01,
+                                  rng=rng, dtype=np.float32)
+    return band
+
+
+def time_passes(op, x, n):
+    import jax
+
+    @jax.jit
+    def chain(v):
+        # 0.02 damping keeps the iterate finite over n unnormalized passes
+        return jax.lax.fori_loop(
+            0, n, lambda i, v: op.matvec(v) * 0.02, v)
+
+    y = chain(x)
+    _ = float(y[0, 0])  # concrete fetch: the only reliable barrier here
+    t0 = time.time()
+    y = chain(x)
+    _ = float(y[0, 0])
+    return (time.time() - t0) / n
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--M", type=int, default=524288)
+    ap.add_argument("--bandwidth", type=int, default=256)
+    ap.add_argument("--B", type=int, default=256)
+    ap.add_argument("--K", type=int, default=1)
+    ap.add_argument("--S", type=int, default=2)
+    ap.add_argument("--passes", type=int, default=50)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--variants", default="resident8,streamed8,streamed16")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from sgvamp_tpu.core.operators import BandedLD
+    from sgvamp_tpu.ops.band_kernel import SymBandedLD
+
+    band = build(args.M, args.bandwidth)
+    rng = np.random.default_rng(1)
+
+    def make(variant):
+        if variant.startswith("einsum"):
+            return BandedLD.from_band(band, block_size=args.B, K=args.K,
+                                      dtype=args.dtype)
+        op = SymBandedLD.from_band(band, block_size=args.B, K=args.K,
+                                   dtype=args.dtype)
+        kw = {}
+        for mode in ("resident", "streamed", "window"):
+            if variant.startswith(mode):
+                g = variant[len(mode):]
+                kw["rows_per_step"] = int(g) if g else 0
+                kw["mode"] = "resident" if mode == "window" else mode
+                kw["window"] = mode == "window"
+        return dataclasses.replace(op, **kw)
+
+    for variant in args.variants.split(","):
+        try:
+            op = make(variant)
+            jax.block_until_ready(jax.tree_util.tree_leaves(op)[0])
+            x = jnp.asarray(
+                rng.normal(size=(args.S * args.K, op.M)).astype(np.float32))
+            dt = time_passes(op, x, args.passes)
+            bytes_pass = op.bytes_per_pass()
+            print(json.dumps({
+                "variant": variant, "M": args.M, "K": args.K, "S": args.S,
+                "B": args.B, "bandwidth": args.bandwidth, "dtype": args.dtype,
+                "ms_per_pass": round(dt * 1e3, 4),
+                "GBps": round(bytes_pass / dt / 1e9, 1),
+            }), flush=True)
+        except Exception as e:  # keep going: one variant OOMing is data too
+            print(json.dumps({"variant": variant,
+                              "error": f"{type(e).__name__}: {e}"[:300]}),
+                  flush=True)
+            sys.stderr.flush()
+
+
+if __name__ == "__main__":
+    main()
