@@ -103,6 +103,79 @@ def _sym_band_kernel(ub_ref, x_ref, y_ref, *, hb: int, B: int, nb: int, G: int,
             per_diagonal(row, g, x_i)
 
 
+def _sym_slab_kernel(ub_ref, x_ref, y_ref, *, hb: int, B: int, nb: int, G: int):
+    """Slab-layout resident kernel: storage is pre-transposed stacked slabs
+    T_i = [U[i,0]^T; ...; U[i,hb]^T] of shape ((hb+1)B, B), so the row part
+    is ONE window matmul y_i += x[:, iB:(i+hb+1)B] @ T_i (the transpose that
+    made the `window` flavor slow is free at pack time) and each mirror is a
+    dot_general contracting both operands' last dims (no data relayout).
+    x must be zero-padded by hb*B so the window never reads OOB; T blocks
+    past the matrix end are zeros by band-storage construction.
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        y_ref[:, :] = jnp.zeros_like(y_ref)
+
+    acc_dt = jnp.promote_types(x_ref.dtype, jnp.float32)
+
+    for g in range(G):
+        row = i * G + g
+        xw = x_ref[:, pl.ds(row * B, (hb + 1) * B)]
+        y_ref[:, pl.ds(row * B, B)] += jnp.dot(
+            xw, ub_ref[g], preferred_element_type=acc_dt
+        )
+        x_i = x_ref[:, pl.ds(row * B, B)]
+        for d in range(1, hb + 1):
+            @pl.when(row + d < nb)
+            def _(row=row, g=g, d=d, x_i=x_i):
+                Td = ub_ref[g, pl.ds(d * B, B)]  # (B, B) = U[row, d]^T
+                # y_{row+d}[s, q] += sum_p x_i[s, p] U[p, q]
+                #                  = sum_p x_i[s, p] Td[q, p]
+                y_ref[:, pl.ds((row + d) * B, B)] += jax.lax.dot_general(
+                    x_i, Td, (((1,), (1,)), ((), ())),
+                    preferred_element_type=acc_dt,
+                )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "rows_per_step"))
+def _sym_slab_matvec(ub: Array, x: Array, interpret: bool = False,
+                     rows_per_step: int = 0) -> Array:
+    """y = R @ x from slab storage. ub: (nb, (hb+1)*B, B); x: (S, M)."""
+    nb, hbp1B, B = ub.shape
+    hbp1 = hbp1B // B
+    hb = hbp1 - 1
+    S, M = x.shape
+    out_dt = jnp.promote_types(x.dtype, jnp.float32)
+    xp = jnp.pad(x, ((0, 0), (0, hb * B))) if hb else x
+    panel_row = hbp1B * B * ub.dtype.itemsize
+    resident = S * (M + hb * B) * x.dtype.itemsize + S * M * jnp.dtype(out_dt).itemsize
+    G = rows_per_step or _pick_rows_per_step(nb, panel_row, resident)
+    if nb % G:
+        raise ValueError(f"rows_per_step={G} must divide nb={nb}")
+    kernel = functools.partial(_sym_slab_kernel, hb=hb, B=B, nb=nb, G=G)
+    return pl.pallas_call(
+        kernel,
+        grid=(nb // G,),
+        in_specs=[
+            pl.BlockSpec((G, hbp1B, B), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, M + hb * B), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((S, M), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, M), out_dt),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * nb * hbp1B * B * S,
+            bytes_accessed=ub.size * ub.dtype.itemsize + 2 * x.size * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(ub, xp)
+
+
 def _sym_band_kernel_streamed(ub_ref, xc_ref, xn_ref, y_ref, cout_ref,
                               cin_ref, carry_ref, *, hb: int, B: int, nb: int,
                               G: int, S: int, spill: bool):
@@ -327,6 +400,10 @@ class SymBandedLD:
     s: float = dataclasses.field(default=0.0, metadata=dict(static=True))
     rows_per_step: int = dataclasses.field(default=0, metadata=dict(static=True))
     window: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    # "diag": upper is (K, nb, hb+1, B, B) per-diagonal blocks.
+    # "slab": upper is (K, nb, (hb+1)*B, B) pre-transposed stacked slabs
+    # T_i = [U[i,0]^T; ...; U[i,hb]^T] (one window matmul per row).
+    layout: str = dataclasses.field(default="diag", metadata=dict(static=True))
     # "auto" picks resident (x/y whole in VMEM) when it fits the scoped
     # VMEM limit and the streamed kernel above it; "resident"/"streamed"
     # force one flavor (tests / A-B benchmarks).
@@ -346,6 +423,8 @@ class SymBandedLD:
 
     @property
     def hb(self) -> int:
+        if self.layout == "slab":
+            return self.upper.shape[2] // self.upper.shape[3] - 1
         return self.upper.shape[2] - 1
 
     @property
@@ -376,6 +455,10 @@ class SymBandedLD:
         xs = xs.astype(self.upper.dtype)
         if self.mesh is not None:
             y = self._matvec_sharded(xs, interpret)
+        elif self.layout == "slab":
+            y = jax.vmap(lambda ub, xv: _sym_slab_matvec(
+                ub, xv, interpret=interpret,
+                rows_per_step=self.rows_per_step))(self.upper, xs)
         elif self._use_resident(S, x.dtype.itemsize):
             y = jax.vmap(lambda ub, xv: _sym_band_matvec(
                 ub, xv, interpret=interpret, rows_per_step=self.rows_per_step,
@@ -454,7 +537,8 @@ class SymBandedLD:
 
     @staticmethod
     def from_band(band: "np.ndarray", block_size: int, K: int = 1,
-                  s: float = 0.0, dtype=None) -> "SymBandedLD":
+                  s: float = 0.0, dtype=None,
+                  layout: str = "diag") -> "SymBandedLD":
         """Pack symmetric band storage (M, 2*bw+1) into upper blocks.
 
         Same padding semantics as BandedLD.from_band (identity diagonal on
@@ -492,13 +576,18 @@ class SymBandedLD:
                 # skip its mirror in the kernel (d == 0 branch).
                 pass
             upper[:, d] = blk
+        if layout == "slab":
+            # T_i[d*B + q, p] = U[i, d][p, q]
+            upper = upper.transpose(0, 1, 3, 2).reshape(nb, (hb + 1) * B, B)
         stacked = upper[None] if K == 1 else np.repeat(upper[None], K, axis=0)
-        return SymBandedLD(upper=jnp.asarray(stacked), s=s)
+        return SymBandedLD(upper=jnp.asarray(stacked), s=s, layout=layout)
 
     def to_dense(self) -> Array:
         """Materialize (K, M, M) - tests only."""
         K, nb, hbp1, B = self.K, self.nb, self.hb + 1, self.B
         up = np.asarray(self.upper)
+        if self.layout == "slab":
+            up = up.reshape(K, nb, hbp1, B, B).transpose(0, 1, 2, 4, 3)
         out = np.zeros((K, self.M, self.M), dtype=up.dtype)
         for k in range(K):
             for i in range(nb):

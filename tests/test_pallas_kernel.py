@@ -54,6 +54,30 @@ def test_window_flavor_matches_dense(B, bw):
     np.testing.assert_allclose(y[:, M:], x[:, M:], atol=1e-12)
 
 
+@pytest.mark.parametrize("B,bw", [(128, 48), (128, 200), (256, 100)])
+def test_slab_layout_matches_dense(B, bw):
+    """The slab layout (pre-transposed stacked upper blocks, one window
+    matmul per row) must equal the dense operator, including edge rows
+    whose x-window runs past M into the zero pad."""
+    rng = np.random.default_rng(3)
+    M = 700
+    band, _, _ = simulate_ld_band(10000, M, bandwidth=bw, rng=rng,
+                                  dtype=np.float64)
+    R = band_to_dense(band)
+    op = SymBandedLD.from_band(band, block_size=B, s=0.1, layout="slab")
+    assert op.hb == -(-bw // B) and op.B == B
+    x = rng.normal(size=(2, op.M))
+    y = np.asarray(op.matvec(jnp.asarray(x)))
+    want = x[:, :M] @ (0.9 * R + 0.1 * np.eye(M)).T
+    np.testing.assert_allclose(y[:, :M], want, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(y[:, M:], x[:, M:], atol=1e-12)
+    # to_dense rebuilds the same matrix from slab storage
+    np.testing.assert_allclose(
+        np.asarray(op.to_dense())[0],
+        np.asarray(SymBandedLD.from_band(band, block_size=B, s=0.1).to_dense())[0],
+        atol=0)
+
+
 def test_fits_vmem_ceiling():
     """The VMEM-resident design fits at the bench size and not at M=1M
     (measured: 512k/bf16 runs, 1M OOMs the 16MiB scoped limit by 10MB)."""

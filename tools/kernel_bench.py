@@ -71,6 +71,16 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except (OSError, AttributeError):
+        pass
     import jax.numpy as jnp
 
     from sgvamp_tpu.core.operators import BandedLD
@@ -83,9 +93,13 @@ def main():
         if variant.startswith("einsum"):
             return BandedLD.from_band(band, block_size=args.B, K=args.K,
                                       dtype=args.dtype)
+        layout = "slab" if variant.startswith("slab") else "diag"
         op = SymBandedLD.from_band(band, block_size=args.B, K=args.K,
-                                   dtype=args.dtype)
+                                   dtype=args.dtype, layout=layout)
         kw = {}
+        if layout == "slab":
+            g = variant[len("slab"):]
+            kw["rows_per_step"] = int(g) if g else 0
         for mode in ("resident", "streamed", "window"):
             if variant.startswith(mode):
                 g = variant[len(mode):]
