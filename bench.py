@@ -406,6 +406,10 @@ def main():
         "baseline_parts": {k: round(v, 4) for k, v in base_parts.items()},
         "M": M, "bandwidth": bandwidth, "cg_maxit": cg_maxit,
         "operator": operator, "ld_dtype": ld_dtype, "K": K,
+        # The CPU baseline is component-measured on a shared 2-vCPU host
+        # and varies ~2x with host load; iter/s (value) is the solid
+        # number, vs_baseline is indicative only.
+        "vs_baseline_note": "CPU baseline varies ~2x with host load",
     }
     print(json.dumps(result))
 

@@ -249,6 +249,127 @@ def _sym_band_kernel_streamed(ub_ref, xc_ref, xn_ref, y_ref, cout_ref,
         cout_ref[0] = carry_ref[...].astype(cout_ref.dtype)
 
 
+def _sym_slab_kernel_streamed(ub_ref, xc_ref, xn_ref, y_ref, cout_ref,
+                              cin_ref, carry_ref, *, hb: int, B: int, nb: int,
+                              G: int, S: int, spill: bool):
+    """Streamed flavor of the slab kernel: same chunked walk + carry protocol
+    as _sym_band_kernel_streamed, but the row part is ONE window matmul over
+    the contiguous (hb+1)B x-window (slab storage is pre-transposed) and
+    mirrors contract with dot_general - no relayout, fewer MXU issues.
+
+    Needs the from_band zero-block invariant (U[i, d] == 0 for i + d >= nb)
+    so windows reaching past the matrix read zeros times stale x instead of
+    requiring per-diagonal masking.
+    """
+    c = pl.program_id(1)
+    acc_dt = jnp.promote_types(xc_ref.dtype, jnp.float32)
+
+    @pl.when(c == 0)
+    def _():
+        carry_ref[...] = jnp.zeros_like(carry_ref)
+
+    cin_ref[...] = carry_ref[...]
+    carry_ref[...] = jnp.zeros_like(carry_ref)
+
+    # One contiguous (S, 2GB) window source: current chunk + next chunk
+    # (clamped to itself in the last chunk; those reads hit zero U blocks).
+    xcat = jnp.concatenate([xc_ref[0], xn_ref[0]], axis=-1)
+
+    for g in range(G):
+        Tg = ub_ref[0, g]  # ((hb+1)B, B) = [U[g,0]^T; ...; U[g,hb]^T]
+        xw = xcat[:, g * B:(g + hb + 1) * B]
+        acc = jnp.dot(xw, Tg, preferred_element_type=acc_dt)
+        if hb > 0 and g < hb:
+            acc += cin_ref[:, pl.ds(g * B, B)]
+        for d in range(1, hb + 1):
+            p = g - d
+            if p >= 0:
+                # y_g[s, q] += sum_p' x_p[s, p'] U[p, d][p', q]
+                #            = sum_p' x_p[s, p'] T_p[d*B + q, p']
+                acc += jax.lax.dot_general(
+                    xcat[:, p * B:(p + 1) * B], ub_ref[0, p, pl.ds(d * B, B)],
+                    (((1,), (1,)), ((), ())), preferred_element_type=acc_dt)
+        y_ref[0, :, pl.ds(g * B, B)] = acc.astype(y_ref.dtype)
+        x_g = xcat[:, g * B:(g + 1) * B]
+        for d in range(1, hb + 1):
+            if g + d >= G:
+                mirror = jax.lax.dot_general(
+                    x_g, ub_ref[0, g, pl.ds(d * B, B)],
+                    (((1,), (1,)), ((), ())), preferred_element_type=acc_dt)
+                if not spill:
+                    # interior chunks always have a real next chunk; only the
+                    # last chunk's export is dropped (its targets are past nb,
+                    # where U is zero so mirror == 0 anyway - keep the mask
+                    # for exact-zero carry-out semantics)
+                    mirror = mirror * (c < pl.num_programs(1) - 1).astype(acc_dt)
+                carry_ref[:, pl.ds((g + d - G) * B, B)] += mirror
+
+    @pl.when(c == pl.num_programs(1) - 1)
+    def _():
+        cout_ref[0] = carry_ref[...].astype(cout_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nb", "interpret", "rows_per_step", "spill"))
+def _sym_slab_matvec_streamed(ub: Array, x: Array, nb: int,
+                              interpret: bool = False, rows_per_step: int = 0,
+                              spill: bool = False):
+    """Streamed slab matvec. ub: (K, nb, (hb+1)*B, B); x: (K, S, Mx)."""
+    K, nb_u, hbp1B, B = ub.shape
+    assert nb_u == nb
+    hbp1 = hbp1B // B
+    hb = hbp1 - 1
+    S = x.shape[1]
+    out_dt = jnp.promote_types(x.dtype, jnp.float32)
+    hbB = max(hb, 1) * B
+    panel_row = hbp1B * B * ub.dtype.itemsize
+    stream_row = S * B * (3 * x.dtype.itemsize + jnp.dtype(out_dt).itemsize)
+    G = rows_per_step or _pick_chunk_rows(nb, hb, panel_row, stream_row)
+    if nb % G or G < hb:
+        raise ValueError(f"rows_per_step={G} must divide nb={nb} and be >= hb={hb}")
+    C = nb // G
+    Cx = x.shape[2] // (G * B)
+    if spill and x.shape[2] != (nb + G) * B:
+        raise ValueError("spill=True needs x halo-extended to (nb + G) * B")
+    kernel = functools.partial(_sym_slab_kernel_streamed, hb=hb, B=B, nb=nb,
+                               G=G, S=S, spill=spill)
+    return pl.pallas_call(
+        kernel,
+        grid=(K, C),
+        in_specs=[
+            pl.BlockSpec((1, G, hbp1B, B), lambda k, c: (k, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, G * B), lambda k, c: (k, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, G * B),
+                         lambda k, c: (k, 0, jnp.minimum(c + 1, Cx - 1)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, S, G * B), lambda k, c: (k, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, hbB), lambda k, c: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((K, S, nb * B), out_dt),
+            jax.ShapeDtypeStruct((K, S, hbB), out_dt),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((S, hbB), out_dt),
+            pltpu.VMEM((S, hbB), out_dt),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * K * nb * hbp1B * B * S,
+            bytes_accessed=(ub.size * ub.dtype.itemsize
+                            + 2 * x.size * x.dtype.itemsize
+                            + K * S * nb * B * jnp.dtype(out_dt).itemsize),
+            transcendentals=0,
+        ),
+    )(ub, x, x)
+
+
 def _pick_chunk_rows(nb: int, hb: int, panel_bytes_per_row: int,
                      stream_bytes_per_row: int) -> int:
     """Largest divisor of nb (capped at 32 to bound unroll size) whose
@@ -455,10 +576,14 @@ class SymBandedLD:
         xs = xs.astype(self.upper.dtype)
         if self.mesh is not None:
             y = self._matvec_sharded(xs, interpret)
-        elif self.layout == "slab":
+        elif self.layout == "slab" and self._use_resident(S, x.dtype.itemsize):
             y = jax.vmap(lambda ub, xv: _sym_slab_matvec(
                 ub, xv, interpret=interpret,
                 rows_per_step=self.rows_per_step))(self.upper, xs)
+        elif self.layout == "slab":
+            y, _ = _sym_slab_matvec_streamed(
+                self.upper, xs, self.nb, interpret=interpret,
+                rows_per_step=self.rows_per_step)
         elif self._use_resident(S, x.dtype.itemsize):
             y = jax.vmap(lambda ub, xv: _sym_band_matvec(
                 ub, xv, interpret=interpret, rows_per_step=self.rows_per_step,
@@ -512,6 +637,9 @@ class SymBandedLD:
         right_to_left = [((i + 1) % n, i) for i in range(n)]
         left_to_right = [(i, (i + 1) % n) for i in range(n)]
 
+        streamed = (_sym_slab_matvec_streamed if self.layout == "slab"
+                    else _sym_band_matvec_streamed)
+
         def local_fn(ub_l, x_l):
             K_l, S, M_l = x_l.shape
             panel_row = (hb + 1) * B * B * ub_l.dtype.itemsize
@@ -522,16 +650,18 @@ class SymBandedLD:
             halo = jax.lax.ppermute(x_l[:, :, :hbB], SHARD_AXIS, right_to_left)
             pad = jnp.zeros((K_l, S, G * B - hbB), x_l.dtype)
             x_ext = jnp.concatenate([x_l, halo, pad], axis=2)
-            y_l, spill = _sym_band_matvec_streamed(
+            y_l, spill = streamed(
                 ub_l, x_ext, nb_l, interpret=interpret, rows_per_step=G,
                 spill=True)
             incoming = jax.lax.ppermute(spill, SHARD_AXIS, left_to_right)
             return y_l.at[:, :, :hbB].add(incoming)
 
+        ub_spec = (P(COHORT_AXIS, SHARD_AXIS, None, None)
+                   if self.layout == "slab"
+                   else P(COHORT_AXIS, SHARD_AXIS, None, None, None))
         return shard_map(
             local_fn, mesh=mesh,
-            in_specs=(P(COHORT_AXIS, SHARD_AXIS, None, None, None),
-                      P(COHORT_AXIS, None, SHARD_AXIS)),
+            in_specs=(ub_spec, P(COHORT_AXIS, None, SHARD_AXIS)),
             out_specs=P(COHORT_AXIS, None, SHARD_AXIS),
         )(self.upper, xs)
 
@@ -576,6 +706,11 @@ class SymBandedLD:
                 # skip its mirror in the kernel (d == 0 branch).
                 pass
             upper[:, d] = blk
+        # Invariant: blocks whose column index runs past the matrix are
+        # exactly zero (band storage guarantees it for real data; enforce it
+        # so window matmuls need no edge masking even on adversarial input).
+        for d in range(1, hb + 1):
+            upper[nb - d:, d] = 0.0
         if layout == "slab":
             # T_i[d*B + q, p] = U[i, d][p, q]
             upper = upper.transpose(0, 1, 3, 2).reshape(nb, (hb + 1) * B, B)

@@ -124,6 +124,26 @@ def test_streamed_matches_dense(B, bw, G):
     np.testing.assert_allclose(y[:, M:], x[:, M:], atol=1e-12)
 
 
+@pytest.mark.parametrize("B,bw,G", [(128, 48, 0), (128, 200, 2), (256, 100, 0),
+                                    (128, 100, 3)])
+def test_streamed_slab_matches_dense(B, bw, G):
+    """Streamed slab flavor (window matmul + dot_general mirrors over
+    HBM-chunked x/y) must equal the dense result at every chunk size."""
+    rng = np.random.default_rng(6)
+    M = 700
+    band, _, _ = simulate_ld_band(10000, M, bandwidth=bw, rng=rng,
+                                  dtype=np.float64)
+    R = band_to_dense(band)
+    op = dataclasses.replace(
+        SymBandedLD.from_band(band, block_size=B, s=0.1, layout="slab"),
+        mode="streamed", rows_per_step=G)
+    x = rng.normal(size=(2, op.M))
+    y = np.asarray(op.matvec(jnp.asarray(x)))
+    want = x[:, :M] @ (0.9 * R + 0.1 * np.eye(M)).T
+    np.testing.assert_allclose(y[:, :M], want, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(y[:, M:], x[:, M:], atol=1e-12)
+
+
 def test_streamed_matches_dense_K2():
     """K cohorts ride the leading grid axis; the carry must reset between
     cohorts (row 0 of cohort k+1 must not absorb cohort k's tail spill)."""

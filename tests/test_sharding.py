@@ -103,17 +103,19 @@ def test_sharded_banded_with_mask_matches_unsharded():
                                    rtol=1e-11, atol=1e-13)
 
 
-@pytest.mark.parametrize("mesh_shape", [(1, 4), (1, 2)])
-def test_sharded_sym_kernel_matches_unsharded(mesh_shape):
+@pytest.mark.parametrize("mesh_shape,layout", [
+    ((1, 4), "diag"), ((1, 2), "diag"), ((1, 4), "slab"), ((1, 2), "slab")])
+def test_sharded_sym_kernel_matches_unsharded(mesh_shape, layout):
     """The pallas sym kernel's shard_map path (halo ppermute + mirror-spill
-    ppermute over the marker axis) must reproduce the unsharded trajectory."""
+    ppermute over the marker axis) must reproduce the unsharded trajectory,
+    in both storage layouts."""
     from sgvamp_tpu.ops.band_kernel import SymBandedLD
 
     rng = np.random.default_rng(9)
     N, M, lam, h2 = 20000, 512, 0.1, 0.7
     band, r, x0 = simulate_ld_band(N, M, bandwidth=100, rng=rng,
                                    dtype=np.float64, h2=h2, lam=lam)
-    op = SymBandedLD.from_band(band, block_size=64)  # nb=8, hb=2
+    op = SymBandedLD.from_band(band, block_size=64, layout=layout)  # nb=8, hb=2
     cfg = VampConfig(prior_update="em", dtype="float64", cg_maxit=300,
                      cg_rtol=1e-10)
     prior = PriorState.create(lam, [1.0], [h2 / int(M * lam) * N])
