@@ -70,15 +70,13 @@ def _setup_tpu(band, r, N, lam, h2, cg_maxit, block_size):
     ld_dtype = os.environ.get("SGVAMP_BENCH_LD_DTYPE", "bfloat16")
     from sgvamp_tpu.ops.band_kernel import SymBandedLD
 
-    itemsize = 2 if ld_dtype == "bfloat16" else 4
-    asked_sym = os.environ.get("SGVAMP_BENCH_OPERATOR", "sym") == "sym"
-    want_sym = asked_sym and SymBandedLD.fits_vmem(M, 2, itemsize)
-    if asked_sym and not want_sym:
-        _stage(f"sym operator does not fit VMEM at M={M} ({ld_dtype}); "
-               "falling back to the band einsum operator")
+    want_sym = os.environ.get("SGVAMP_BENCH_OPERATOR", "sym") == "sym"
+    # mode=auto keeps x/y VMEM-resident when they fit and switches to the
+    # streamed kernel above that, so the sym path has no M ceiling.
+    layout = os.environ.get("SGVAMP_BENCH_LAYOUT", "diag")
     if want_sym:
         op = SymBandedLD.from_band(band, block_size=block_size, dtype=ld_dtype,
-                                   K=K)
+                                   K=K, layout=layout)
         jax.block_until_ready(op.upper)
     else:
         op = BandedLD.from_band(band, block_size=block_size, dtype=ld_dtype,
@@ -362,13 +360,6 @@ def main():
     ld_dtype = os.environ.get("SGVAMP_BENCH_LD_DTYPE", "bfloat16")
     K = int(os.environ.get("SGVAMP_BENCH_K", "1"))
     itemsize = 2 if ld_dtype == "bfloat16" else 4
-    if operator == "sym":
-        from sgvamp_tpu.ops.band_kernel import SymBandedLD
-
-        if not SymBandedLD.fits_vmem(M, 2, itemsize):
-            operator = "band"  # children fall back the same way
-            _stage(f"sym operator does not fit VMEM at M={M} ({ld_dtype}); "
-                   "accounting for the band einsum operator")
     nb = -(-M // block_size)
     hb = -(-bandwidth // block_size)
     nd = (hb + 1) if operator == "sym" else (2 * hb + 1)
@@ -406,6 +397,7 @@ def main():
         "baseline_parts": {k: round(v, 4) for k, v in base_parts.items()},
         "M": M, "bandwidth": bandwidth, "cg_maxit": cg_maxit,
         "operator": operator, "ld_dtype": ld_dtype, "K": K,
+        "layout": os.environ.get("SGVAMP_BENCH_LAYOUT", "diag"),
         # The CPU baseline is component-measured on a shared 2-vCPU host
         # and varies ~2x with host load; iter/s (value) is the solid
         # number, vs_baseline is indicative only.

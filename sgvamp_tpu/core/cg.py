@@ -102,13 +102,21 @@ def cg_batched(
         beta = rz_new / jnp.where(s.rz == 0.0, 1.0, s.rz)
         p = r + beta[:, None] * s.p
 
-        act = s.active[:, None]
-        x = jnp.where(act, x, s.x)
-        r = jnp.where(act, r, s.r)
-        p = jnp.where(act, p, s.p)
-        rz = jnp.where(s.active, rz_new, s.rz)
-        iters = s.iters + s.active.astype(jnp.int32)
-        active = s.active if force_maxiter else s.active & (rz > tol2)
+        if force_maxiter:
+            # No lane ever freezes: skip the per-lane masking entirely (it
+            # costs three extra (K, M) HBM reads per iteration for masks
+            # that are constant-True in this mode).
+            rz = rz_new
+            iters = s.iters + 1
+            active = s.active
+        else:
+            act = s.active[:, None]
+            x = jnp.where(act, x, s.x)
+            r = jnp.where(act, r, s.r)
+            p = jnp.where(act, p, s.p)
+            rz = jnp.where(s.active, rz_new, s.rz)
+            iters = s.iters + s.active.astype(jnp.int32)
+            active = s.active & (rz > tol2)
         return _CGState(x=x, r=r, p=p, rz=rz, k=s.k + 1, iters=iters, active=active)
 
     final = jax.lax.while_loop(cond, body, state)

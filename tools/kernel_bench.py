@@ -44,16 +44,45 @@ def build(M, bandwidth, seed=0):
 def time_passes(op, x, n):
     import jax
 
+    # op rides as a jit ARGUMENT (it is a pytree), never a closure capture:
+    # captured arrays are embedded in the serialized module and the remote
+    # compile service rejects >512MB requests (HTTP 413).
     @jax.jit
-    def chain(v):
+    def chain(o, v):
         # 0.02 damping keeps the iterate finite over n unnormalized passes
         return jax.lax.fori_loop(
-            0, n, lambda i, v: op.matvec(v) * 0.02, v)
+            0, n, lambda i, v: o.matvec(v) * 0.02, v)
 
-    y = chain(x)
+    y = chain(op, x)
     _ = float(y[0, 0])  # concrete fetch: the only reliable barrier here
     t0 = time.time()
-    y = chain(x)
+    y = chain(op, x)
+    _ = float(y[0, 0])
+    return (time.time() - t0) / n
+
+
+def time_cg(op, x, n):
+    """Per-CG-iteration cost (matvec + axpys/dots), the in-step unit cost."""
+    import jax
+    import jax.numpy as jnp
+
+    from sgvamp_tpu.core.cg import cg_batched
+
+    lanes = x.shape[0]
+    gamw = jnp.full((lanes,), 5.0, jnp.float32)
+    gam2 = jnp.full((lanes,), 1.0, jnp.float32)
+
+    @jax.jit
+    def solve(o, b):
+        def amatvec(v):
+            return gamw[:, None] * o.matvec(v) + gam2[:, None] * v
+        return cg_batched(amatvec, b, jnp.zeros_like(b), maxiter=n,
+                          force_maxiter=True).x
+
+    y = solve(op, x)
+    _ = float(y[0, 0])
+    t0 = time.time()
+    y = solve(op, x)
     _ = float(y[0, 0])
     return (time.time() - t0) / n
 
@@ -68,9 +97,16 @@ def main():
     ap.add_argument("--passes", type=int, default=50)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--variants", default="resident8,streamed8,streamed16")
+    ap.add_argument("--cg", action="store_true",
+                    help="also time a full CG iteration (matvec + vector ops)")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax backend (e.g. cpu) for smoke runs")
     args = ap.parse_args()
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     cache_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), ".jax_cache")
@@ -116,12 +152,17 @@ def main():
                 rng.normal(size=(args.S * args.K, op.M)).astype(np.float32))
             dt = time_passes(op, x, args.passes)
             bytes_pass = op.bytes_per_pass()
-            print(json.dumps({
+            row = {
                 "variant": variant, "M": args.M, "K": args.K, "S": args.S,
                 "B": args.B, "bandwidth": args.bandwidth, "dtype": args.dtype,
                 "ms_per_pass": round(dt * 1e3, 4),
                 "GBps": round(bytes_pass / dt / 1e9, 1),
-            }), flush=True)
+            }
+            if args.cg:
+                dt_cg = time_cg(op, x, args.passes)
+                row["ms_per_cg_iter"] = round(dt_cg * 1e3, 4)
+                row["vector_overhead_ms"] = round((dt_cg - dt) * 1e3, 4)
+            print(json.dumps(row), flush=True)
         except Exception as e:  # keep going: one variant OOMing is data too
             print(json.dumps({"variant": variant,
                               "error": f"{type(e).__name__}: {e}"[:300]}),
