@@ -74,9 +74,17 @@ def _setup_tpu(band, r, N, lam, h2, cg_maxit, block_size):
     # mode=auto keeps x/y VMEM-resident when they fit and switches to the
     # streamed kernel above that, so the sym path has no M ceiling.
     layout = os.environ.get("SGVAMP_BENCH_LAYOUT", "diag")
+    # streamed default: measured faster than the VMEM-resident flavor at
+    # M=512k (1.19 vs 1.33 ms/pass, same chip+run) and it is the only
+    # flavor with no M ceiling.
+    mode = os.environ.get("SGVAMP_BENCH_MODE", "streamed")
     if want_sym:
         op = SymBandedLD.from_band(band, block_size=block_size, dtype=ld_dtype,
                                    K=K, layout=layout)
+        if mode != "auto":
+            import dataclasses as _dc
+
+            op = _dc.replace(op, mode=mode)
         jax.block_until_ready(op.upper)
     else:
         op = BandedLD.from_band(band, block_size=block_size, dtype=ld_dtype,
@@ -103,8 +111,12 @@ def _setup_tpu(band, r, N, lam, h2, cg_maxit, block_size):
 
 
 def time_matvec_child(band, r, N, lam, h2, cg_maxit, block_size):
-    """Roofline: time one operator matvec (2 RHS) on device."""
+    """Roofline: time one operator matvec (2 RHS) on device, plus the pure
+    HBM-read ceiling over the same block array (what a reduction that only
+    READS the bytes achieves on this chip right now — the honest
+    denominator for a bandwidth-bound kernel's roofline fraction)."""
     import jax
+    import jax.numpy as jnp
 
     op, inputs, state, cfg = _setup_tpu(band, r, N, lam, h2, cg_maxit, block_size)
     _stage("timing matvec roofline")
@@ -119,7 +131,25 @@ def time_matvec_child(band, r, N, lam, h2, cg_maxit, block_size):
     for _ in range(reps):
         x = mv(x, inputs)
     _ = float(x[0, 0])
-    return (time.time() - t0) / reps
+    matvec_s = (time.time() - t0) / reps
+
+    _stage("timing HBM read ceiling")
+    ub = jax.tree_util.tree_leaves(op)[0]
+    n = reps
+
+    @jax.jit
+    def read_chain(u, a0):
+        # the +a*1e-9 data dependence stops XLA hoisting the reduction out
+        # of the loop; abs blocks algebraic simplification
+        return jax.lax.fori_loop(
+            0, n, lambda i, a: jnp.sum(jnp.abs(u + a * 1e-9),
+                                       dtype=jnp.float32), a0)
+
+    _ = float(read_chain(ub, jnp.float32(0.0)))
+    t0 = time.time()
+    _ = float(read_chain(ub, jnp.float32(1.0)))
+    memread_s = (time.time() - t0) / n
+    return matvec_s, memread_s
 
 
 def time_step_child(band, r, N, lam, h2, iters, cg_maxit, block_size, x0=None):
@@ -313,9 +343,9 @@ def child_main(mode):
         print(json.dumps({"iter_s": iter_s, "compile_s": compile_s,
                           "finite": finite, "align": align}))
     else:
-        matvec_s = time_matvec_child(band, r, N_SAMPLES, LAM, H2, cg_maxit,
-                                     block_size)
-        print(json.dumps({"matvec_s": matvec_s}))
+        matvec_s, memread_s = time_matvec_child(band, r, N_SAMPLES, LAM, H2,
+                                                cg_maxit, block_size)
+        print(json.dumps({"matvec_s": matvec_s, "memread_s": memread_s}))
 
 
 def main():
@@ -337,6 +367,7 @@ def main():
     mv = run_child("matvec", min(200.0, remaining())) if remaining() > 90 else None
     got = run_child("step", remaining()) if remaining() > 120 else None
     matvec_s = mv["matvec_s"] if mv else float("nan")
+    memread_s = mv.get("memread_s", float("nan")) if mv else float("nan")
     align = got.get("align", -1.0) if got else -1.0
     if got is not None:
         iter_s, compile_s, finite = got["iter_s"], got["compile_s"], got["finite"]
@@ -388,6 +419,12 @@ def main():
             2 * 2 * K * M * (2 * bandwidth + 1) * passes / iter_s / 1e9, 1),
         "matvec_ms": _num(matvec_s * 1e3, 3),
         "matvec_GBps": _num(bytes_per_pass / matvec_s / 1e9, 1),
+        # Same-run pure-read bandwidth over the same block array: the
+        # denominator that tracks what this (shared, tunneled) chip can
+        # actually move today, vs the 819 GB/s v5e spec sheet.
+        "hbm_read_peak_GBps": _num(bytes_per_pass / memread_s / 1e9, 1),
+        "roofline_frac_vs_measured_peak": _num(
+            memread_s / matvec_s, 3) if np.isfinite(memread_s * matvec_s) else -1.0,
         "compile_s": round(compile_s, 1),
         "gen_s": round(gen_s, 1),
         "state_finite": finite,

@@ -126,26 +126,58 @@ def main():
     rng = np.random.default_rng(1)
 
     def make(variant):
+        # grammar: einsum | [slab](resident|streamed|window)?[G]
+        # e.g. resident8, streamed16, slab, slabstreamed16, slabresident8
         if variant.startswith("einsum"):
             return BandedLD.from_band(band, block_size=args.B, K=args.K,
                                       dtype=args.dtype)
-        layout = "slab" if variant.startswith("slab") else "diag"
+        rest = variant
+        layout = "diag"
+        if rest.startswith("slab"):
+            layout, rest = "slab", rest[len("slab"):]
         op = SymBandedLD.from_band(band, block_size=args.B, K=args.K,
                                    dtype=args.dtype, layout=layout)
         kw = {}
-        if layout == "slab":
-            g = variant[len("slab"):]
-            kw["rows_per_step"] = int(g) if g else 0
         for mode in ("resident", "streamed", "window"):
-            if variant.startswith(mode):
-                g = variant[len(mode):]
-                kw["rows_per_step"] = int(g) if g else 0
+            if rest.startswith(mode):
+                rest = rest[len(mode):]
                 kw["mode"] = "resident" if mode == "window" else mode
                 kw["window"] = mode == "window"
+        if rest:
+            kw["rows_per_step"] = int(rest)
         return dataclasses.replace(op, **kw)
+
+    def time_memread(op, n):
+        """Pure HBM-read ceiling: reduce the block array once per pass.
+        The +a*1e-9 data dependence stops XLA hoisting the reduction out
+        of the loop; abs blocks algebraic simplification."""
+        ub = jax.tree_util.tree_leaves(op)[0]
+
+        @jax.jit
+        def chain(u, a0):
+            return jax.lax.fori_loop(
+                0, n, lambda i, a: jnp.sum(jnp.abs(u + a * 1e-9),
+                                           dtype=jnp.float32), a0)
+
+        a = chain(ub, jnp.float32(0.0))
+        _ = float(a)
+        t0 = time.time()
+        a = chain(ub, jnp.float32(1.0))
+        _ = float(a)
+        return (time.time() - t0) / n
 
     for variant in args.variants.split(","):
         try:
+            if variant == "memread":
+                op = make("resident")
+                dt = time_memread(op, args.passes)
+                bytes_pass = op.bytes_per_pass()
+                print(json.dumps({
+                    "variant": "memread", "M": args.M, "dtype": args.dtype,
+                    "ms_per_pass": round(dt * 1e3, 4),
+                    "GBps": round(bytes_pass / dt / 1e9, 1),
+                }), flush=True)
+                continue
             op = make(variant)
             jax.block_until_ready(jax.tree_util.tree_leaves(op)[0])
             x = jnp.asarray(
