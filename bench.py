@@ -390,7 +390,7 @@ def main():
     operator = os.environ.get("SGVAMP_BENCH_OPERATOR", "sym")
     ld_dtype = os.environ.get("SGVAMP_BENCH_LD_DTYPE", "bfloat16")
     K = int(os.environ.get("SGVAMP_BENCH_K", "1"))
-    itemsize = 2 if ld_dtype == "bfloat16" else 4
+    itemsize = {"bfloat16": 2, "int8": 1}.get(ld_dtype, 4)
     nb = -(-M // block_size)
     hb = -(-bandwidth // block_size)
     nd = (hb + 1) if operator == "sym" else (2 * hb + 1)

@@ -64,7 +64,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--x64", help="Enable float64 (1/0); default on for CPU, off for TPU", default=None)
     g.add_argument("--dtype", help="Compute dtype: float32/float64/bfloat16", default=None)
     g.add_argument("--ld-dtype", help="LD block storage dtype (e.g. bfloat16 halves HBM "
-                   "footprint; matvec still accumulates in float32); defaults to --dtype",
+                   "footprint; int8 with per-block scales halves it again, sym "
+                   "operator only; matvec still accumulates in float32); "
+                   "defaults to --dtype",
                    default=None)
     g.add_argument("--mesh-cohort", help="Mesh size over the cohort axis", type=int, default=1)
     g.add_argument("--mesh-shard", help="Mesh size over the marker-shard axis", type=int, default=None)
@@ -273,20 +275,23 @@ def main(argv: Optional[List[str]] = None) -> int:
         # .npz -> symmetric band storage -> block-banded operator, never
         # materializing MxM.
         dropped = 0
+        # int8 quantizes at block-pack time (per-block scales inside
+        # from_band); the staged band arrays must stay float.
+        band_dtype = np.dtype(np.float32 if ld_dtype == "int8" else ld_dtype)
         if all_ld_tables:
             bands, rs_list, bw, dropped = loaders.ld_files_to_bands(
-                ld_paths, rs, panel, args.bandwidth, dtype=np.dtype(ld_dtype))
+                ld_paths, rs, panel, args.bandwidth, dtype=band_dtype)
             rs = np.stack(rs_list)
         else:
             band_list, bws = [], []
             for p in ld_paths:
                 band_k, bw_k, d_k = loaders.csr_to_band(
-                    loaders.load_R(p), args.bandwidth, dtype=np.dtype(ld_dtype))
+                    loaders.load_R(p), args.bandwidth, dtype=band_dtype)
                 band_list.append(band_k)
                 bws.append(bw_k)
                 dropped += d_k
             bw = max(bws)
-            bands = np.zeros((K, M, 2 * bw + 1), np.dtype(ld_dtype))
+            bands = np.zeros((K, M, 2 * bw + 1), band_dtype)
             for k, band_k in enumerate(band_list):
                 w = (band_k.shape[1] - 1) // 2
                 bands[k, :, bw - w:bw + w + 1] = band_k
@@ -297,7 +302,10 @@ def main(argv: Optional[List[str]] = None) -> int:
             from sgvamp_tpu.ops.band_kernel import SymBandedLD
             ops = [SymBandedLD.from_band(bands[k], block_size=B, s=s, dtype=ld_dtype)
                    for k in range(K)]
-            op = SymBandedLD(upper=jnp.concatenate([o.upper for o in ops], axis=0), s=s)
+            scales = (jnp.concatenate([o.scales for o in ops], axis=0)
+                      if ops[0].scales is not None else None)
+            op = SymBandedLD(upper=jnp.concatenate([o.upper for o in ops], axis=0),
+                             scales=scales, s=s)
         else:
             ops = [BandedLD.from_band(bands[k], block_size=B, s=s, dtype=ld_dtype)
                    for k in range(K)]
@@ -329,10 +337,11 @@ def main(argv: Optional[List[str]] = None) -> int:
             # on this path (it would cost O(K*M^2) host memory at exactly
             # the large M the sym operator targets)
             from sgvamp_tpu.ops.band_kernel import SymBandedLD
+            band_dtype = np.dtype(np.float32 if ld_dtype == "int8" else ld_dtype)
             bands_k, dropped = [], 0
             for R in Rs:
                 band_k, _, d_k = loaders.csr_to_band(R, args.bandwidth,
-                                                     dtype=np.dtype(ld_dtype))
+                                                     dtype=band_dtype)
                 bands_k.append(band_k)
                 dropped += d_k
             bw = max((b.shape[1] - 1) // 2 for b in bands_k)
@@ -345,8 +354,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                 full[:, bw - w:bw + w + 1] = b
                 ops.append(SymBandedLD.from_band(full, block_size=B, s=s,
                                                  dtype=ld_dtype))
+            scales = (jnp.concatenate([o.scales for o in ops], axis=0)
+                      if ops[0].scales is not None else None)
             op = SymBandedLD(upper=jnp.concatenate([o.upper for o in ops], axis=0),
-                             s=s)
+                             scales=scales, s=s)
             Mp = ops[0].M
             pad = Mp - M
         elif args.operator == "banded":

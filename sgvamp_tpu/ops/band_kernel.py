@@ -176,9 +176,10 @@ def _sym_slab_matvec(ub: Array, x: Array, interpret: bool = False,
     )(ub, xp)
 
 
-def _sym_band_kernel_streamed(ub_ref, xc_ref, xn_ref, y_ref, cout_ref,
+def _sym_band_kernel_streamed(ub_ref, xc_ref, xn_ref, sc_ref, y_ref, cout_ref,
                               cin_ref, carry_ref, *, hb: int, B: int, nb: int,
-                              G: int, S: int, spill: bool):
+                              G: int, S: int, spill: bool,
+                              quantized: bool = False):
     """Streamed flavor: x and y are chunked over HBM instead of living whole
     in VMEM, so M is unbounded (the resident kernel caps at ~600k markers).
 
@@ -196,10 +197,17 @@ def _sym_band_kernel_streamed(ub_ref, xc_ref, xn_ref, y_ref, cout_ref,
     mirrors are NOT dropped at the local boundary, and the final carry -
     this shard's contribution to the next shard's first hb*B markers - is
     exported through cout for a ppermute+add by the wrapper.
+
+    quantized=True: ub holds int8 blocks; each block converts to bf16 on
+    the VPU before its matmul and the dot OUTPUT is scaled by the block's
+    f32 scale from sc_ref (exact, since the scale is scalar per block) -
+    halving LD HBM traffic vs bf16 storage. sc_ref is ones otherwise.
     """
     c = pl.program_id(1)
     C = pl.num_programs(1)
     acc_dt = jnp.promote_types(xc_ref.dtype, jnp.float32)
+    if quantized:
+        acc_dt = jnp.float32
 
     @pl.when(c == 0)
     def _():
@@ -214,6 +222,13 @@ def _sym_band_kernel_streamed(ub_ref, xc_ref, xn_ref, y_ref, cout_ref,
             return xc_ref[0, :, pl.ds(local * B, B)]
         return xn_ref[0, :, pl.ds((local - G) * B, B)]
 
+    def blk(g_idx, d):
+        Ud = ub_ref[0, g_idx, d]
+        return Ud.astype(jnp.bfloat16) if quantized else Ud
+
+    def scaled(out, g_idx, d):
+        return out * sc_ref[0, g_idx, d] if quantized else out
+
     # Row part reads x up to hb blocks past the chunk; without spill those
     # reads land past nb only in the very last chunk (where the clamped
     # x_next holds stale-but-finite data), so the contribution is zeroed.
@@ -225,21 +240,24 @@ def _sym_band_kernel_streamed(ub_ref, xc_ref, xn_ref, y_ref, cout_ref,
         if hb > 0 and g < hb:
             acc += cin_ref[:, pl.ds(g * B, B)]
         for d in range(hb + 1):
-            Ud = ub_ref[0, g, d]
-            contrib = jnp.dot(xblk(g + d), Ud.T, preferred_element_type=acc_dt)
+            contrib = scaled(
+                jnp.dot(xblk(g + d), blk(g, d).T, preferred_element_type=acc_dt),
+                g, d)
             if g + d >= G and not spill:
                 contrib = contrib * not_last
             acc += contrib
         for d in range(1, hb + 1):
             p = g - d
             if p >= 0:
-                acc += jnp.dot(xblk(p), ub_ref[0, p, d],
-                               preferred_element_type=acc_dt)
+                acc += scaled(
+                    jnp.dot(xblk(p), blk(p, d), preferred_element_type=acc_dt),
+                    p, d)
         y_ref[0, :, pl.ds(g * B, B)] = acc.astype(y_ref.dtype)
         for d in range(1, hb + 1):
             if g + d >= G:
-                mirror = jnp.dot(x_g, ub_ref[0, g, d],
-                                 preferred_element_type=acc_dt)
+                mirror = scaled(
+                    jnp.dot(x_g, blk(g, d), preferred_element_type=acc_dt),
+                    g, d)
                 if not spill:
                     mirror = mirror * not_last
                 carry_ref[:, pl.ds((g + d - G) * B, B)] += mirror
@@ -391,19 +409,25 @@ def _pick_chunk_rows(nb: int, hb: int, panel_bytes_per_row: int,
                    static_argnames=("nb", "interpret", "rows_per_step", "spill"))
 def _sym_band_matvec_streamed(ub: Array, x: Array, nb: int,
                               interpret: bool = False, rows_per_step: int = 0,
-                              spill: bool = False):
+                              spill: bool = False, scales: Array = None):
     """(y, carry_out) = streamed symmetric block-banded matvec.
 
     ub: (K, nb, hb+1, B, B) upper blocks; x: (K, S, Mx) where Mx = nb*B,
     or (nb + G)*B when spill=True (halo-extended by the caller).
     y: (K, S, nb*B) in f32; carry_out: (K, S, max(hb,1)*B) mirror spill
     past the last local row (zeros unless spill=True).
+    scales: (K, nb, hb+1) f32 per-block dequantization scales, required
+    when ub is int8 (see SymBandedLD.from_band dtype="int8").
     """
     K, nb_u, hbp1, B, _ = ub.shape
     assert nb_u == nb
     hb = hbp1 - 1
     S = x.shape[1]
-    out_dt = jnp.promote_types(x.dtype, jnp.float32)
+    quantized = ub.dtype == jnp.int8
+    out_dt = jnp.float32 if quantized else jnp.promote_types(x.dtype, jnp.float32)
+    if scales is None:
+        assert not quantized, "int8 blocks need per-block scales"
+        scales = jnp.ones((K, nb, hbp1), jnp.float32)
     hbB = max(hb, 1) * B
     panel_row = hbp1 * B * B * ub.dtype.itemsize
     stream_row = S * B * (3 * x.dtype.itemsize + jnp.dtype(out_dt).itemsize)
@@ -415,7 +439,7 @@ def _sym_band_matvec_streamed(ub: Array, x: Array, nb: int,
     if spill and x.shape[2] != (nb + G) * B:
         raise ValueError("spill=True needs x halo-extended to (nb + G) * B")
     kernel = functools.partial(_sym_band_kernel_streamed, hb=hb, B=B, nb=nb,
-                               G=G, S=S, spill=spill)
+                               G=G, S=S, spill=spill, quantized=quantized)
     return pl.pallas_call(
         kernel,
         grid=(K, C),
@@ -426,6 +450,8 @@ def _sym_band_matvec_streamed(ub: Array, x: Array, nb: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, S, G * B),
                          lambda k, c: (k, 0, jnp.minimum(c + 1, Cx - 1)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, hbp1), lambda k, c: (k, c, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -450,7 +476,7 @@ def _sym_band_matvec_streamed(ub: Array, x: Array, nb: int,
                             + K * S * nb * B * jnp.dtype(out_dt).itemsize),
             transcendentals=0,
         ),
-    )(ub, x, x)
+    )(ub, x, x, scales)
 
 
 _VMEM_BUDGET = 14 << 20  # stay under the ~16MiB scoped-vmem limit with slack
@@ -518,6 +544,11 @@ class SymBandedLD:
     """
 
     upper: Array
+    # per-block dequantization scales (K, nb, hb+1) f32; set only when
+    # upper is int8 (dtype="int8" at from_band: per-block symmetric
+    # quantization q = round(U/scale), scale = max|U|/127 - halves LD HBM
+    # traffic vs bf16; supported by the streamed diag kernel).
+    scales: Array = None
     s: float = dataclasses.field(default=0.0, metadata=dict(static=True))
     rows_per_step: int = dataclasses.field(default=0, metadata=dict(static=True))
     window: bool = dataclasses.field(default=False, metadata=dict(static=True))
@@ -558,7 +589,10 @@ class SymBandedLD:
 
     def bytes_per_pass(self) -> int:
         """HBM bytes of LD blocks read by one matvec (roofline accounting)."""
-        return self.upper.size * self.upper.dtype.itemsize
+        n = self.upper.size * self.upper.dtype.itemsize
+        if self.scales is not None:
+            n += self.scales.size * self.scales.dtype.itemsize
+        return n
 
     @staticmethod
     def fits_vmem(M: int, S: int = 2, storage_bytes: int = 2) -> bool:
@@ -568,12 +602,18 @@ class SymBandedLD:
         M=512k/S=2/bf16 fits; M=1M does not (measured OOM by 10MB)."""
         return 2 * S * M * (storage_bytes + 4) < (13 << 20)
 
+    @property
+    def quantized(self) -> bool:
+        return self.upper.dtype == jnp.int8
+
     def matvec(self, x: Array) -> Array:
         K = self.K
         S = x.shape[0] // K
         interpret = jax.default_backend() != "tpu"
         xs = x.reshape(S, K, self.M).transpose(1, 0, 2)  # (K, S, M)
-        xs = xs.astype(self.upper.dtype)
+        # int8 blocks dequantize to bf16 in-kernel; x rides in bf16 too.
+        comp_dt = jnp.bfloat16 if self.quantized else self.upper.dtype
+        xs = xs.astype(comp_dt)
         if self.mesh is not None:
             y = self._matvec_sharded(xs, interpret)
         elif self.layout == "slab" and self._use_resident(S, x.dtype.itemsize):
@@ -591,13 +631,15 @@ class SymBandedLD:
         else:
             y, _ = _sym_band_matvec_streamed(
                 self.upper, xs, self.nb, interpret=interpret,
-                rows_per_step=self.rows_per_step)
+                rows_per_step=self.rows_per_step, scales=self.scales)
         y = y.transpose(1, 0, 2).reshape(x.shape).astype(x.dtype)
         if self.s != 0.0:
             y = (1.0 - self.s) * y + self.s * x
         return y
 
     def _use_resident(self, S: int, x_itemsize: int) -> bool:
+        if self.quantized:
+            return False  # int8 dequant lives in the streamed kernel only
         if self.mode == "resident":
             return True
         if self.mode == "streamed":
@@ -637,10 +679,9 @@ class SymBandedLD:
         right_to_left = [((i + 1) % n, i) for i in range(n)]
         left_to_right = [(i, (i + 1) % n) for i in range(n)]
 
-        streamed = (_sym_slab_matvec_streamed if self.layout == "slab"
-                    else _sym_band_matvec_streamed)
+        slab = self.layout == "slab"
 
-        def local_fn(ub_l, x_l):
+        def local_fn(ub_l, x_l, sc_l):
             K_l, S, M_l = x_l.shape
             panel_row = (hb + 1) * B * B * ub_l.dtype.itemsize
             stream_row = S * B * (3 * x_l.dtype.itemsize + 4)
@@ -650,20 +691,29 @@ class SymBandedLD:
             halo = jax.lax.ppermute(x_l[:, :, :hbB], SHARD_AXIS, right_to_left)
             pad = jnp.zeros((K_l, S, G * B - hbB), x_l.dtype)
             x_ext = jnp.concatenate([x_l, halo, pad], axis=2)
-            y_l, spill = streamed(
-                ub_l, x_ext, nb_l, interpret=interpret, rows_per_step=G,
-                spill=True)
+            if slab:
+                y_l, spill = _sym_slab_matvec_streamed(
+                    ub_l, x_ext, nb_l, interpret=interpret, rows_per_step=G,
+                    spill=True)
+            else:
+                y_l, spill = _sym_band_matvec_streamed(
+                    ub_l, x_ext, nb_l, interpret=interpret, rows_per_step=G,
+                    spill=True, scales=sc_l)
             incoming = jax.lax.ppermute(spill, SHARD_AXIS, left_to_right)
             return y_l.at[:, :, :hbB].add(incoming)
 
         ub_spec = (P(COHORT_AXIS, SHARD_AXIS, None, None)
-                   if self.layout == "slab"
+                   if slab
                    else P(COHORT_AXIS, SHARD_AXIS, None, None, None))
+        scales = self.scales
+        if scales is None:
+            scales = jnp.ones((self.K, nb, hb + 1), jnp.float32)
         return shard_map(
             local_fn, mesh=mesh,
-            in_specs=(ub_spec, P(COHORT_AXIS, None, SHARD_AXIS)),
+            in_specs=(ub_spec, P(COHORT_AXIS, None, SHARD_AXIS),
+                      P(COHORT_AXIS, SHARD_AXIS, None)),
             out_specs=P(COHORT_AXIS, None, SHARD_AXIS),
-        )(self.upper, xs)
+        )(self.upper, xs, scales)
 
     @staticmethod
     def from_band(band: "np.ndarray", block_size: int, K: int = 1,
@@ -675,6 +725,9 @@ class SymBandedLD:
         padded markers, callers mask them).
         """
         band = np.asarray(band)
+        quantize = dtype in ("int8", np.int8, jnp.int8)
+        if quantize and layout == "slab":
+            raise ValueError("int8 quantization supports the diag layout only")
         M, nd_full = band.shape
         bw = (nd_full - 1) // 2
         B = block_size
@@ -687,7 +740,7 @@ class SymBandedLD:
         nb = M // B
         hb = -(-bw // B)
         band_r = band.reshape(nb, B, nd_full)
-        out_dtype = dtype or band.dtype
+        out_dtype = np.float32 if quantize else (dtype or band.dtype)
         upper = np.zeros((nb, hb + 1, B, B), dtype=out_dtype)
         p = np.arange(B)[:, None]
         q = np.arange(B)[None, :]
@@ -711,16 +764,35 @@ class SymBandedLD:
         # so window matmuls need no edge masking even on adversarial input).
         for d in range(1, hb + 1):
             upper[nb - d:, d] = 0.0
+        scales = None
+        if quantize:
+            # symmetric per-block quantization: q = round(U/scale) with
+            # scale = max|U|/127, so every block's worst-case error is
+            # scale/2 (relative to its own magnitude). Zero blocks get
+            # scale 0 -> stored zeros, dequantized exactly.
+            amax = np.abs(upper).max(axis=(-2, -1))  # (nb, hb+1)
+            sc = amax / 127.0
+            safe = np.where(sc == 0.0, 1.0, sc)
+            upper = np.clip(np.rint(upper / safe[..., None, None]),
+                            -127, 127).astype(np.int8)
+            scales = sc.astype(np.float32)
         if layout == "slab":
             # T_i[d*B + q, p] = U[i, d][p, q]
             upper = upper.transpose(0, 1, 3, 2).reshape(nb, (hb + 1) * B, B)
         stacked = upper[None] if K == 1 else np.repeat(upper[None], K, axis=0)
-        return SymBandedLD(upper=jnp.asarray(stacked), s=s, layout=layout)
+        sc_stacked = None
+        if scales is not None:
+            sc_stacked = jnp.asarray(
+                scales[None] if K == 1 else np.repeat(scales[None], K, axis=0))
+        return SymBandedLD(upper=jnp.asarray(stacked), scales=sc_stacked,
+                           s=s, layout=layout)
 
     def to_dense(self) -> Array:
         """Materialize (K, M, M) - tests only."""
         K, nb, hbp1, B = self.K, self.nb, self.hb + 1, self.B
         up = np.asarray(self.upper)
+        if self.quantized:
+            up = up.astype(np.float32) * np.asarray(self.scales)[..., None, None]
         if self.layout == "slab":
             up = up.reshape(K, nb, hbp1, B, B).transpose(0, 1, 2, 4, 3)
         out = np.zeros((K, self.M, self.M), dtype=up.dtype)

@@ -119,9 +119,11 @@ def shard_inputs(inputs, mesh: Mesh):
             )
 
     def place_op_leaf(x):
-        # integer leaves are index tables (e.g. BlockSparseLD.rows/cols),
-        # not marker data: replicate them
-        if np.issubdtype(np.dtype(x.dtype), np.integer):
+        # wide-integer leaves are index tables (e.g. BlockSparseLD.rows/
+        # cols), not marker data: replicate them. int8 leaves are QUANTIZED
+        # BLOCK DATA (SymBandedLD dtype="int8") and must shard like floats.
+        if (np.issubdtype(np.dtype(x.dtype), np.integer)
+                and np.dtype(x.dtype).itemsize >= 4):
             return _put(x, mesh, P())
         return _put(x, mesh, spec_for(x.shape, mesh))
 

@@ -119,6 +119,28 @@ def test_cli_ld_dtype_bf16(sim_dir, tmp_path):
     assert abs(aligns["bf16"] - aligns["f32"]) < 0.02
 
 
+def test_cli_ld_dtype_int8(sim_dir, tmp_path):
+    """--ld-dtype int8 with --operator sym: per-block quantized LD storage
+    (quarter the f32 HBM traffic) must stay close to the float32 run."""
+    aligns = {}
+    for name, extra in [("f32", []), ("int8", ["--ld-dtype", "int8"])]:
+        out = tmp_path / name
+        rc = cli_main.main([
+            "--ld-files", str(sim_dir / "sim_R.npy"),
+            "--r-files", str(sim_dir / "sim_r.npy"),
+            "--true-signal-file", str(sim_dir / "sim_bet.npy"),
+            "--out-dir", str(out), "--out-name", "t",
+            "--N", "1500", "--M", "200", "--iterations", "5",
+            "--s", "0.1", "--platform", "cpu", "--dtype", "float32",
+            "--x64", "0", "--operator", "sym", "--block-size", "64",
+            "--bandwidth", "200", "--seed", "7",
+        ] + extra)
+        assert rc == 0
+        aligns[name] = float(_read_csv(out / "t_metrics.csv")[-1][1])
+    assert aligns["int8"] > 0.9
+    assert abs(aligns["int8"] - aligns["f32"]) < 0.02
+
+
 def test_cli_multi_cohort(tmp_path):
     d = tmp_path / "simk"
     d.mkdir()

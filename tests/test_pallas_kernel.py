@@ -1,10 +1,11 @@
 """SymBandedLD pallas-kernel tests (interpret mode on CPU).
 
-Measured on chip (M=131k, bandwidth 256, inside the fused CG loop):
-einsum BandedLD B=128: 36 ms/iter vs pallas-sym B=256: 50 ms/iter - the
-XLA einsum path remains the default; this operator trades ~20% less HBM
-storage (upper-triangle blocks only) for currently-lower throughput and is
-kept as a correct, tested alternative for memory-limited panels.
+Measured on chip at M=512k, bandwidth 256, B=256 (same-run A/B): the
+streamed sym kernel saturates the chip's measured HBM read bandwidth
+(1.21 ms/pass vs a 1.22 ms pure-read reduction over the same bytes) and
+beats both the resident flavor (1.33 ms) and the full-band einsum operator
+(1.57 ms, 1.5x the bytes). int8 per-block quantized storage halves LD
+traffic again (opt-in, dtype="int8" at from_band).
 """
 
 import dataclasses
@@ -216,6 +217,101 @@ def test_streamed_spill_two_shard_composition():
     np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
     # the last shard's spill leaves the global panel: must be exact zeros
     np.testing.assert_allclose(np.asarray(spills[1]), 0.0, atol=0.0)
+
+
+@pytest.mark.parametrize("B,bw,G", [(128, 48, 0), (128, 200, 2), (256, 100, 0)])
+def test_int8_quantized_matvec(B, bw, G):
+    """int8 per-block quantized storage: the kernel must reproduce the
+    dequantized matrix's matvec EXACTLY (int8 -> bf16 conversion is exact,
+    scale multiply is scalar), and stay within the per-block quantization
+    bound of the unquantized result."""
+    rng = np.random.default_rng(8)
+    M = 700
+    band, _, _ = simulate_ld_band(10000, M, bandwidth=bw, rng=rng,
+                                  dtype=np.float64)
+    R = band_to_dense(band)
+    op = dataclasses.replace(
+        SymBandedLD.from_band(band, block_size=B, dtype="int8"),
+        rows_per_step=G)
+    assert op.quantized and str(op.upper.dtype) == "int8"
+    assert op.scales.shape == (1, op.nb, op.hb + 1)
+    # int8 halves traffic vs bf16 (scales add a negligible tail)
+    assert op.bytes_per_pass() < 0.51 * (
+        op.upper.size * 2 + op.scales.size * 4)
+    x = rng.normal(size=(2, op.M))
+    y = np.asarray(op.matvec(jnp.asarray(x, jnp.float32)), np.float64)
+    # exact vs the dequantized matrix (up to bf16 x-cast + f32 accumulate)
+    Rq = np.asarray(op.to_dense(), np.float64)[0]
+    want_q = x.astype(jnp.bfloat16).astype(np.float64) @ Rq.T
+    scale = np.abs(want_q).max()
+    np.testing.assert_allclose(y / scale, want_q / scale, atol=1e-5)
+    # within quantization error of the true matrix
+    full = np.zeros((op.M, op.M))
+    full[:M, :M] = R
+    full[M:, M:] = np.eye(op.M - M)
+    want = x @ full.T
+    np.testing.assert_allclose(y / scale, want / scale, atol=2e-2)
+
+
+def test_int8_engine_close_to_f32():
+    """Full VAMP trajectory with int8 LD storage stays close to the f32
+    trajectory (the fixed point is robust to operator quantization at the
+    bf16-comparable level)."""
+    rng = np.random.default_rng(9)
+    N, M, lam, h2, iters = 20000, 400, 0.1, 0.7, 4
+    band, r, x0 = simulate_ld_band(N, M, bandwidth=32, rng=rng,
+                                   dtype=np.float64, h2=h2, lam=lam)
+    u = (rng.integers(0, 2, size=(iters, 1, 512)) * 2 - 1).astype(np.float64)
+    cfg = VampConfig(prior_update="em", dtype="float32", cg_maxit=200,
+                     cg_rtol=1e-7)
+    prior = PriorState.create(lam, [1.0], [h2 / int(M * lam) * N])
+    hists = {}
+    for name, op in [
+            ("f32", SymBandedLD.from_band(band, block_size=128,
+                                          dtype="float32")),
+            ("int8", SymBandedLD.from_band(band, block_size=128,
+                                           dtype="int8"))]:
+        Mp = op.M
+        mask = np.zeros(Mp)
+        mask[:M] = 1.0
+        rp = np.zeros(Mp)
+        rp[:M] = r
+        inputs = VampInputs(op=op, r=jnp.asarray(rp, jnp.float32)[None],
+                            a=jnp.asarray([1.0], jnp.float32),
+                            N=jnp.asarray([float(N)], jnp.float32),
+                            mask=jnp.asarray(mask, jnp.float32))
+        hists[name] = VampEngine(inputs, cfg, prior).run(
+            iters, fixed_u=u[:, :, :Mp], M_out=M)
+    for it in range(iters):
+        a, b = hists["int8"]["xhat1"][it], hists["f32"]["xhat1"][it]
+        denom = np.linalg.norm(b) + 1e-30
+        assert np.linalg.norm(a - b) / denom < 0.05, f"iteration {it}"
+    # final estimates agree well where it matters: correlation vs truth
+    ca = np.corrcoef(hists["int8"]["xhat1"][-1], hists["f32"]["xhat1"][-1])[0, 1]
+    assert ca > 0.999
+
+
+def test_int8_sharded_matches_unsharded():
+    """int8 storage through the shard_map path: the scales leaf must shard
+    with the blocks (not replicate via the index-table heuristic)."""
+    from sgvamp_tpu.parallel.sharding import make_mesh, shard_inputs
+
+    rng = np.random.default_rng(10)
+    M, B, bw = 512, 64, 100
+    band, r, _ = simulate_ld_band(20000, M, bandwidth=bw, rng=rng,
+                                  dtype=np.float64)
+    op = SymBandedLD.from_band(band, block_size=B, dtype="int8")
+    x = rng.normal(size=(2, op.M)).astype(np.float32)
+    want = np.asarray(op.matvec(jnp.asarray(x)))
+    mesh = make_mesh(1, 4)
+    inputs = VampInputs(op=op, r=jnp.asarray(r, jnp.float32)[None],
+                        a=jnp.asarray([1.0]), N=jnp.asarray([20000.0]))
+    sh = shard_inputs(inputs, mesh)
+    assert sh.op.mesh is mesh
+    # scales sharded over block rows, like the blocks themselves
+    assert "shard" in str(sh.op.scales.sharding.spec)
+    got = np.asarray(sh.op.matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
 
 
 def test_matches_banded_operator_in_engine():
