@@ -39,6 +39,14 @@ def _regularize(y: Array, x: Array, s: float) -> Array:
     return (1.0 - s) * y + s * x
 
 
+def _regularize_diag(D: Array, s: float) -> Array:
+    # diagonal blocks of Rused = (1-s) R + s I, from diagonal blocks of R
+    if s == 0.0:
+        return D
+    eye = jnp.eye(D.shape[-1], dtype=D.dtype)
+    return (1.0 - s) * D + s * eye
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class DenseLD:
@@ -82,6 +90,19 @@ class DenseLD:
     def to_dense(self) -> Array:
         eye = jnp.eye(self.M, dtype=self.mats.dtype)
         return (1.0 - self.s) * self.mats + self.s * eye[None]
+
+    def diag_blocks(self, block_size: int = 0) -> Array:
+        """(K, nb, B, B) regularized diagonal blocks of Rused (for the
+        block-Jacobi preconditioner, core/precond.py). Default block:
+        the largest divisor of M at most 256."""
+        B = block_size or max(b for b in range(1, min(256, self.M) + 1)
+                              if self.M % b == 0)
+        if self.M % B:
+            raise ValueError(f"M={self.M} not a multiple of block {B}")
+        nb = self.M // B
+        Dv = self.mats.reshape(self.K, nb, B, nb, B)
+        D = jnp.moveaxis(jnp.diagonal(Dv, axis1=1, axis2=3), -1, 1)
+        return _regularize_diag(D.astype(jnp.float32), self.s)
 
 
 @jax.tree_util.register_dataclass
@@ -131,6 +152,12 @@ class BandedLD:
     def bytes_per_pass(self) -> int:
         """HBM bytes of LD blocks read by one matvec (roofline accounting)."""
         return self.blocks.size * self.blocks.dtype.itemsize
+
+    def diag_blocks(self) -> Array:
+        """(K, nb, B, B) regularized diagonal blocks of Rused (for the
+        block-Jacobi preconditioner, core/precond.py)."""
+        return _regularize_diag(self.blocks[:, :, self.hb].astype(jnp.float32),
+                                self.s)
 
     def matvec(self, x: Array) -> Array:
         """R @ x rowwise; x may stack S right-hand sides per cohort along
@@ -278,6 +305,19 @@ class BlockSparseLD:
     def bytes_per_pass(self) -> int:
         """HBM bytes of LD blocks read by one matvec (roofline accounting)."""
         return self.blocks.size * self.blocks.dtype.itemsize
+
+    def diag_blocks(self) -> Array:
+        """(K, nb, B, B) regularized diagonal blocks of Rused (for the
+        block-Jacobi preconditioner, core/precond.py).
+
+        from_csr guarantees every diagonal block is stored; slots are in
+        ascending (row, col) key order, so the first nb hits of rows==cols
+        are the nb diagonal blocks in block-row order (shard-padding slots
+        with rows=cols=0 sort after all real slots and are never taken).
+        """
+        slots = jnp.nonzero(self.rows == self.cols, size=self.nb)[0]
+        D = jnp.take(self.blocks, slots, axis=1).astype(jnp.float32)
+        return _regularize_diag(D, self.s)
 
     def matvec(self, x: Array) -> Array:
         """R @ x rowwise; x may stack S right-hand sides per cohort along

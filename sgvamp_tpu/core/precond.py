@@ -1,0 +1,90 @@
+"""Block-Jacobi preconditioner for the LMMSE conjugate-gradient solves.
+
+The VAMP iteration is ~100% LD-matvec bound: each CG iteration streams the
+whole LD block array through HBM once, so the only lever beyond roofline
+bandwidth is FEWER CG iterations. The reference has no preconditioner at
+all (its scipy cg calls are plain, reference src/sgvamp.py:316,332); a
+block-Jacobi preconditioner beats it outright on time-to-tolerance.
+
+Per VAMP iteration the system is A_k = gamw_k * Rused_k + gam2_k * I with
+fresh scalars (gamw, gam2), so the preconditioner is rebuilt inside the
+jitted step: take the (K, nb, B, B) diagonal blocks of Rused (each operator
+exposes them via diag_blocks()), optionally restrict to P x P diagonal
+sub-blocks (P = sub_block <= B divides storage and per-CG-iteration HBM
+traffic by B/P), shift by gam2, and invert as one batched jnp.linalg.inv -
+a few ms of MXU work amortized over ~10-100 CG iterations.
+
+Applying M^{-1} is a batched (P, P) x (P, S) matmul reading M*P*itemsize
+bytes - at P=64/bfloat16 that is ~12% of one bf16 LD pass at bandwidth 256,
+so the preconditioner pays for itself as soon as it saves one CG iteration
+in eight.
+
+Genomic LD concentrates near the diagonal (the same fact that makes banded
+storage work), so the block diagonal captures most of A's structure and
+measured iteration counts at cg_rtol=1e-5 drop ~2x (see bench.py A/B).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+
+def block_jacobi_inverse(op, gamw: Array, gam2: Array, sub_block: int = 0,
+                         dtype=jnp.float32) -> Array:
+    """Inverse diagonal P x P blocks of A = gamw * Rused + gam2 * I.
+
+    Args:
+      op: an LD operator exposing diag_blocks() -> (K, nb, B, B) regularized
+        diagonal blocks of Rused.
+      gamw, gam2: (K,) per-cohort scalars of this VAMP iteration.
+      sub_block: P, the preconditioner block size; 0 or B uses the full
+        storage block, any divisor of B restricts to the P x P diagonal
+        sub-blocks (less HBM traffic per apply, weaker preconditioner).
+      dtype: storage dtype of the inverse blocks (bfloat16 halves apply
+        traffic; the preconditioner only steers CG, so low precision is
+        safe - A itself stays exact).
+
+    Returns:
+      (K, M // P, P, P) inverse blocks.
+    """
+    D = op.diag_blocks()  # (K, nb, B, B), Rused's diagonal blocks
+    K, nb, B, _ = D.shape
+    P = sub_block or B
+    if B % P:
+        raise ValueError(f"sub_block={P} must divide the storage block {B}")
+    if P < B:
+        ns = B // P
+        Dv = D.reshape(K, nb, ns, P, ns, P)
+        # P x P blocks on the diagonal of each (B, B) block
+        D = jnp.moveaxis(jnp.diagonal(Dv, axis1=2, axis2=4), -1, 2)
+        D = D.reshape(K, nb * ns, P, P)
+    else:
+        D = D.reshape(K, nb, P, P)
+    eye = jnp.eye(P, dtype=D.dtype)
+    A = (gamw[:, None, None, None] * D
+         + gam2[:, None, None, None] * eye[None, None])
+    Pinv = jnp.linalg.inv(A)
+    # inv of SPD is SPD; symmetrize away LU rounding asymmetry so CG's
+    # implicit M^{-1}-inner-product stays an inner product.
+    Pinv = 0.5 * (Pinv + jnp.swapaxes(Pinv, -1, -2))
+    return Pinv.astype(dtype)
+
+
+def apply_block_jacobi(Pinv: Array, v: Array) -> Array:
+    """z = blockdiag(Pinv) @ v, batched over lanes.
+
+    v: (L, M) with L a multiple of K (the fused multi-RHS CG stacks
+    lane groups that share per-cohort systems, e.g. L = 2K).
+    """
+    K, nbp, P, _ = Pinv.shape
+    L, M = v.shape
+    C = L // K
+    vb = v.reshape(C, K, nbp, P)
+    # keep v at its own precision; a bfloat16 Pinv only loses precision on
+    # the already-approximate preconditioner side
+    z = jnp.einsum("knpq,cknq->cknp", Pinv, vb,
+                   preferred_element_type=jnp.promote_types(v.dtype,
+                                                            jnp.float32))
+    return z.reshape(L, M).astype(v.dtype)

@@ -223,11 +223,25 @@ def vamp_step(
         # (unlike reference src/sgvamp.py:312).
         return gamw2[:, None] * inputs.op.matvec(x) + gam22[:, None] * x
 
+    precond = None
+    if cfg.cg_precond_block:
+        # Block-Jacobi M^{-1} rebuilt from this iteration's (gamw, gam2):
+        # one batched inverse amortized over all CG iterations. Both lane
+        # groups (LMMSE rhs and Hutchinson probe) share per-cohort systems,
+        # so one (K, ...) inverse serves the 2K-lane fused solve.
+        from sgvamp_tpu.core.precond import (apply_block_jacobi,
+                                             block_jacobi_inverse)
+        pinv = block_jacobi_inverse(inputs.op, gamw, gam2,
+                                    cfg.cg_precond_block,
+                                    dtype=jnp.dtype(cfg.cg_precond_dtype))
+        precond = lambda v: apply_block_jacobi(pinv, v)
+
     cg = cg_batched(
         amatvec2,
         jnp.concatenate([mu2, u], axis=0),
         jnp.concatenate([state.xhat2, state.sigma2_u], axis=0),
         cfg.cg_maxit, cfg.cg_rtol, cfg.cg_atol, cfg.cg_force_maxiter,
+        precond=precond,
     )
     xhat2, sigma2_u = cg.x[:K], cg.x[K:]
     if cfg.lmmse_damp:
@@ -353,11 +367,18 @@ class VampEngine:
         M_out: Optional[int] = None,
         it0: int = 0,
         abort_on_nonfinite: bool = True,
+        fetch_aux_full: Optional[bool] = None,
     ) -> Dict[str, Any]:
         """Run `iterations` VAMP steps with per-iteration host I/O.
 
         fixed_u: optional (iterations, K, M) Rademacher probes (test hook).
         writer: an io.writers.OutputWriter (or None).
+        fetch_aux_full: under jax.distributed, whether to all-gather the
+            (K, M) r1_in aux leaf to every host each iteration. Only a
+            writer reads it, so the default (None) fetches it iff this
+            process holds a writer — but the fetch is a COLLECTIVE, so
+            when only one process holds the writer (the CLI's layout)
+            every process must pass the same explicit value here.
         x0: true signal for metrics (already scaled, reference src/main.py:276).
         Nt: total sample count, for the xhat/r1 output scaling by 1/sqrt(Nt)
             (reference src/sgvamp.py:281,283).
@@ -378,6 +399,11 @@ class VampEngine:
         x0v = None if x0 is None else np.asarray(x0).squeeze()
         bpp = getattr(self.inputs.op, "bytes_per_pass", lambda: 0)()
         multiproc = jax.process_count() > 1
+        fetch_full = (writer is not None if fetch_aux_full is None
+                      else fetch_aux_full)
+        if writer is not None and not fetch_full:
+            raise ValueError("fetch_aux_full=False is incompatible with a "
+                             "writer (it needs the r1_in aux leaf)")
         for rel_it in range(iterations):
             it = it0 + rel_it
             logger.info(f"\n -----ITERATION {it} -----")
@@ -389,9 +415,16 @@ class VampEngine:
             if multiproc:
                 # Cross-process-sharded aux arrays are not host-addressable;
                 # collectively all-gather them so the (host-side) I/O below
-                # works unchanged under jax.distributed.
+                # works unchanged under jax.distributed. The (K, M) r1_in
+                # leaf is the only one nobody reads without a writer — at
+                # M=1M, K=8 skipping it saves ~64MB of DCN traffic per
+                # iteration on writer-less runs.
                 from sgvamp_tpu.parallel.multihost import fetch_global
-                aux = jax.tree_util.tree_map(fetch_global, aux)
+                aux = StepAux(**{
+                    name: (getattr(aux, name)
+                           if name == "r1_in" and not fetch_full
+                           else fetch_global(getattr(aux, name)))
+                    for name in StepAux._fields})
             xhat1 = np.asarray(aux.xhat1)[:M_out]
             dt_step = time.perf_counter() - t_step
             # Achieved-bandwidth counter (SURVEY section 5): LD passes =
@@ -404,7 +437,8 @@ class VampEngine:
                     f"{passes} LD passes, achieved "
                     f"{bpp * passes / dt_step / 1e9:.1f} GB/s (incl. dispatch)"
                 )
-            r1_in = np.asarray(aux.r1_in)[:, :M_out]
+            r1_in = (np.asarray(aux.r1_in)[:, :M_out]
+                     if (fetch_full or not multiproc) else None)
             self._log_iteration(it, aux)
             if abort_on_nonfinite and not (
                 np.all(np.isfinite(xhat1)) and np.all(np.isfinite(np.asarray(aux.gam1)))
@@ -419,8 +453,9 @@ class VampEngine:
             history["cg1_iters"].append(np.asarray(aux.cg1_iters))
             history["cg2_iters"].append(np.asarray(aux.cg2_iters))
             lam = float(aux.lam)
+            K = np.asarray(aux.gamw).shape[0]
             rows = []
-            for k in range(r1_in.shape[0]):
+            for k in range(K):
                 rows.append([
                     it, float(aux.gamw[k]), float(aux.gam1[k]), float(aux.gam2[k]),
                     float(aux.alpha1[k]), float(aux.alpha2[k]), lam,
@@ -429,7 +464,7 @@ class VampEngine:
             if writer is not None:
                 scale = 1.0 / np.sqrt(Nt) if Nt else 1.0
                 writer.write_xhat(it, xhat1 * scale)
-                for k in range(r1_in.shape[0]):
+                for k in range(K):
                     writer.write_r1(it, r1_in[k] * scale, k + 1)
                     writer.write_params(rows[k], k)
             if x0v is not None:

@@ -118,6 +118,7 @@ def simulate_banded(
 def simulate_ld_band(
     N: int, M: int, bandwidth: int, h2: float = 0.8, lam: float = 0.1,
     rng: Optional[np.random.Generator] = None, dtype=np.float32,
+    strength: float = 0.6, decay: float = 0.85,
 ):
     """Large-M banded SPD LD panel in band storage - never materializes MxM.
 
@@ -125,6 +126,14 @@ def simulate_ld_band(
     band) gives R = L L^T, SPD and banded with twice L's bandwidth; the
     diagonal is then normalized to 1 (a correlation matrix, like X^T X
     with standardized X/sqrt(N), reference sim_gen_phen.py:48-50).
+
+    `strength`/`decay` control L's off-diagonal mass, i.e. how strongly
+    correlated (and ill-conditioned) the panel is. The defaults give a
+    mildly-correlated panel where CG at rtol=1e-5 needs only a handful of
+    iterations; strength ~4 with decay ~0.97 produces the near-singular
+    local correlation structure of dense genotyping panels (plain CG
+    ~60-80 iterations at rtol=1e-5 - the regime the reference's
+    cg_maxit=500 default anticipates, src/main.py:41).
 
     Returns (band, r, x0) where
       band: (M, 2*bandwidth+1) symmetric band storage,
@@ -142,10 +151,10 @@ def simulate_ld_band(
     rng = rng or np.random.default_rng()
     hb = bandwidth // 2  # L bandwidth; R gets 2*hb = bandwidth
     # L band storage: Lb[i, d] = L[i, i-d], d = 0..hb
-    decay = (0.85 ** np.arange(1, hb + 1) * 0.6 / np.sqrt(hb)).astype(np.float64)
+    prof = (decay ** np.arange(1, hb + 1) * strength / np.sqrt(hb)).astype(np.float64)
     Lb = np.empty((M, hb + 1), dtype=np.float64)
     Lb[:, 0] = 1.0
-    Lb[:, 1:] = rng.uniform(-1.0, 1.0, size=(M, hb)) * decay[None, :]
+    Lb[:, 1:] = rng.uniform(-1.0, 1.0, size=(M, hb)) * prof[None, :]
     for d in range(1, hb + 1):  # zero out-of-range entries (row i < d)
         Lb[:d, d] = 0.0
     # R[i, i+k] = sum_d L[i, i-d] * L[i+k, i-d] = sum_d Lb[i, d] * Lb[i+k, d+k]

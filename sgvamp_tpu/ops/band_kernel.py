@@ -606,6 +606,23 @@ class SymBandedLD:
     def quantized(self) -> bool:
         return self.upper.dtype == jnp.int8
 
+    def diag_blocks(self) -> Array:
+        """(K, nb, B, B) regularized diagonal blocks of Rused (for the
+        block-Jacobi preconditioner, core/precond.py). from_band stores the
+        FULL diagonal block at d=0 (no triangle split), so this is exact."""
+        if self.layout == "slab":
+            # T_i rows [0, B) hold U[i, 0]^T
+            D = jnp.swapaxes(self.upper[:, :, :self.B, :], -1, -2)
+        else:
+            D = self.upper[:, :, 0]
+        D = D.astype(jnp.float32)
+        if self.quantized:
+            D = D * self.scales[:, :, 0, None, None]
+        if self.s != 0.0:
+            eye = jnp.eye(self.B, dtype=D.dtype)
+            D = (1.0 - self.s) * D + self.s * eye
+        return D
+
     def matvec(self, x: Array) -> Array:
         K = self.K
         S = x.shape[0] // K
@@ -639,7 +656,12 @@ class SymBandedLD:
 
     def _use_resident(self, S: int, x_itemsize: int) -> bool:
         if self.quantized:
-            return False  # int8 dequant lives in the streamed kernel only
+            if self.mode == "resident":
+                raise ValueError(
+                    "int8-quantized SymBandedLD has no resident kernel "
+                    "(dequant lives in the streamed flavor); use "
+                    "mode='streamed' or 'auto'")
+            return False
         if self.mode == "resident":
             return True
         if self.mode == "streamed":

@@ -1,6 +1,17 @@
 """Child program for tests/test_multiprocess.py: one jax.distributed
 process of a 2-process CPU run (4 virtual devices each), asserting that the
-cross-process (cohort, shard) mesh trajectory matches a single-device run.
+cross-process (cohort, shard) mesh trajectory matches a single-device run
+for BOTH LD operators:
+
+  * BandedLD  - the block-banded einsum operator (sharding-propagation
+    collectives inserted by XLA), and
+  * SymBandedLD - the flagship pallas kernel running as a shard_map with
+    halo + mirror-spill ppermutes riding the cross-process (gloo)
+    collective backend - certifying the kernel's collectives in a genuine
+    multi-process deployment, not just on single-process virtual devices.
+
+Also asserts the writer-less aux fetch stays scalar-sized: no (K, M) leaf
+may cross DCN when nobody reads it (core/vamp.py fetch_aux_full).
 
 Usage: python multiproc_child.py <process_id> <num_processes> <port>
 """
@@ -16,15 +27,7 @@ jax.config.update("jax_enable_x64", True)
 import numpy as np  # noqa: E402
 
 
-def main() -> int:
-    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
-
-    from sgvamp_tpu.parallel.multihost import make_multihost_mesh, multihost_init
-
-    assert multihost_init(f"localhost:{port}", nproc, pid)
-    assert jax.process_count() == nproc
-    assert len(jax.devices()) == 4 * nproc
-
+def run_parity(op_name: str, mesh, nproc: int, fetched_sizes) -> None:
     import jax.numpy as jnp
 
     from sgvamp_tpu.config import VampConfig
@@ -32,23 +35,17 @@ def main() -> int:
     from sgvamp_tpu.core.prior import PriorState
     from sgvamp_tpu.core.vamp import VampEngine, VampInputs
     from sgvamp_tpu.data.simulate import simulate_ld_band
-
-    # cohort axis = process count: each host's devices form one shard group,
-    # the layout make_multihost_mesh documents.
-    mesh = make_multihost_mesh(nproc)
-    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
-        "cohort": nproc, "shard": 4}
-    # host-major: row p must be exactly process p's local devices
-    for p in range(nproc):
-        assert all(d.process_index == p for d in mesh.devices[p]), (
-            "multihost mesh rows must align with processes")
+    from sgvamp_tpu.ops.band_kernel import SymBandedLD
 
     rng = np.random.default_rng(0)
     K, M, B, iters = nproc, 1024, 128, 3
     N = 20000
     band, r, _ = simulate_ld_band(N, M, 64, h2=0.7, lam=0.05, rng=rng,
                                   dtype=np.float64)
-    op = BandedLD.from_band(band, block_size=B, K=K)
+    if op_name == "sym":
+        op = SymBandedLD.from_band(band, block_size=B, K=K)
+    else:
+        op = BandedLD.from_band(band, block_size=B, K=K)
     rs = np.tile(r[None], (K, 1)) * (1.0 + 0.01 * np.arange(K)[:, None])
     cfg = VampConfig(prior_update="em", dtype="float64", cg_maxit=200,
                      cg_rtol=1e-10, rho=0.5, lmmse_damp=True)
@@ -66,6 +63,9 @@ def main() -> int:
 
     sharded_engine = VampEngine(inputs, cfg, prior, gamw=5.0, gam1=1e-6,
                                 mesh=mesh)
+    if op_name == "sym":
+        assert sharded_engine.inputs.op.mesh is mesh, (
+            "shard_inputs must pin the mesh on SymBandedLD (shard_map path)")
     hist_s = sharded_engine.run(iters, fixed_u=u_seq)
 
     local_engine = VampEngine(inputs, cfg, prior, gamw=5.0, gam1=1e-6)
@@ -75,12 +75,54 @@ def main() -> int:
         a = np.asarray(hist_s["xhat1"][it])
         b = np.asarray(hist_l["xhat1"][it])
         err = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-30)
-        assert err < 1e-9, f"xhat1 parity failed at it={it}: {err:.3e}"
+        assert err < 1e-9, f"[{op_name}] xhat1 parity failed at it={it}: {err:.3e}"
         np.testing.assert_allclose(
             np.asarray(hist_s["params"][it], np.float64),
             np.asarray(hist_l["params"][it], np.float64), rtol=1e-8)
 
-    print(f"PARITY OK process={pid}", flush=True)
+    # Writer-less runs must not all-gather any (K, M) aux leaf across
+    # processes: the largest fetched array is xhat1 of size M.
+    assert fetched_sizes, "fetch spy saw no traffic - wiring broken?"
+    assert max(fetched_sizes) <= M, (
+        f"[{op_name}] writer-less aux fetch moved an array of size "
+        f"{max(fetched_sizes)} > M={M} (r1_in should be skipped)")
+    fetched_sizes.clear()
+
+
+def main() -> int:
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+
+    from sgvamp_tpu.parallel.multihost import make_multihost_mesh, multihost_init
+
+    assert multihost_init(f"localhost:{port}", nproc, pid)
+    assert jax.process_count() == nproc
+    assert len(jax.devices()) == 4 * nproc
+
+    # cohort axis = process count: each host's devices form one shard group,
+    # the layout make_multihost_mesh documents.
+    mesh = make_multihost_mesh(nproc)
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+        "cohort": nproc, "shard": 4}
+    # host-major: row p must be exactly process p's local devices
+    for p in range(nproc):
+        assert all(d.process_index == p for d in mesh.devices[p]), (
+            "multihost mesh rows must align with processes")
+
+    # Spy on the collective aux fetch to prove the writer-less fast path.
+    import sgvamp_tpu.parallel.multihost as mh
+
+    fetched_sizes = []
+    orig_fetch = mh.fetch_global
+
+    def spy_fetch(x):
+        fetched_sizes.append(int(np.size(x)))
+        return orig_fetch(x)
+
+    mh.fetch_global = spy_fetch
+
+    for op_name in ("banded", "sym"):
+        run_parity(op_name, mesh, nproc, fetched_sizes)
+        print(f"PARITY OK operator={op_name} process={pid}", flush=True)
     return 0
 
 

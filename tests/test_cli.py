@@ -196,6 +196,55 @@ def test_cli_checkpoint_resume(sim_dir, tmp_path):
     assert [r[0] for r in rowsB[1:]] == ["0", "1", "2", "3", "4"]
 
 
+def test_cli_fused_checkpoint_resume(sim_dir, tmp_path):
+    """--fused 1 with --checkpoint-dir runs chunked scans (checkpoint +
+    output flush between chunks) and resumes the exact trajectory: 5 fused
+    iterations straight == 2 + resume for 3 more, all fused."""
+    common = [
+        "--ld-files", str(sim_dir / "sim_R.npy"),
+        "--r-files", str(sim_dir / "sim_r.npy"),
+        "--out-dir", None, "--out-name", "t",
+        "--N", "1500", "--M", "200", "--s", "0.1",
+        "--platform", "cpu", "--x64", "1", "--seed", "3", "--fused", "1",
+    ]
+    outA = tmp_path / "A"
+    argsA = [a if a is not None else str(outA) for a in common]
+    rc = cli_main.main(argsA + ["--iterations", "5"])
+    assert rc == 0
+
+    outB = tmp_path / "B"
+    ck = tmp_path / "ck"
+    argsB = [a if a is not None else str(outB) for a in common]
+    rc = cli_main.main(argsB + ["--iterations", "2", "--checkpoint-dir",
+                                str(ck), "--checkpoint-every", "2"])
+    assert rc == 0
+    assert (outB / "t_xhat_it_1.bin").exists()  # flushed at the chunk break
+    rc = cli_main.main(argsB + ["--iterations", "5", "--checkpoint-dir",
+                                str(ck), "--checkpoint-every", "2",
+                                "--resume", "1"])
+    assert rc == 0
+    a = np.fromfile(outA / "t_xhat_it_4.bin", dtype="<f8")
+    b = np.fromfile(outB / "t_xhat_it_4.bin", dtype="<f8")
+    np.testing.assert_allclose(b, a, rtol=1e-10)
+    rowsB = _read_csv(outB / "t_cohort_1.csv")
+    assert [r[0] for r in rowsB[1:]] == ["0", "1", "2", "3", "4"]
+
+
+def test_cli_int8_requires_sym(sim_dir, tmp_path):
+    """--ld-dtype int8 on any non-sym operator must be rejected up front:
+    casting correlations in [-1, 1] to int8 truncates them all to zero."""
+    for op in ["dense", "banded", "blocksparse"]:
+        with pytest.raises(SystemExit, match="int8 requires --operator sym"):
+            cli_main.main([
+                "--ld-files", str(sim_dir / "sim_R.npy"),
+                "--r-files", str(sim_dir / "sim_r.npy"),
+                "--out-dir", str(tmp_path / op), "--out-name", "t",
+                "--N", "1500", "--M", "200", "--iterations", "2",
+                "--platform", "cpu", "--operator", op,
+                "--ld-dtype", "int8",
+            ])
+
+
 def test_cli_plots_and_visld(sim_dir, tmp_path):
     out = tmp_path / "out"
     cli_main.main([

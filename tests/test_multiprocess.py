@@ -53,7 +53,10 @@ def test_two_process_mesh_parity():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, (
             f"process {pid} failed (rc={p.returncode}):\n{out[-4000:]}")
-        assert f"PARITY OK process={pid}" in out
+        # both the einsum operator AND the flagship sym pallas shard_map
+        # kernel (halo/spill ppermutes over gloo) must pass parity
+        assert f"PARITY OK operator=banded process={pid}" in out
+        assert f"PARITY OK operator=sym process={pid}" in out
 
 
 def test_multihost_init_noop_without_config(monkeypatch):

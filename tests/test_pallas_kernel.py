@@ -253,6 +253,20 @@ def test_int8_quantized_matvec(B, bw, G):
     np.testing.assert_allclose(y / scale, want / scale, atol=2e-2)
 
 
+def test_int8_resident_mode_rejected():
+    """int8 has no resident kernel; forcing mode='resident' must error
+    loudly instead of silently running the streamed flavor (which would
+    mislead resident-vs-streamed A/B benchmarks)."""
+    rng = np.random.default_rng(3)
+    band, _, _ = simulate_ld_band(10000, 256, bandwidth=32, rng=rng,
+                                  dtype=np.float64)
+    op = dataclasses.replace(
+        SymBandedLD.from_band(band, block_size=128, dtype="int8"),
+        mode="resident")
+    with pytest.raises(ValueError, match="no resident kernel"):
+        op.matvec(jnp.ones((2, op.M), jnp.float32))
+
+
 def test_int8_engine_close_to_f32():
     """Full VAMP trajectory with int8 LD storage stays close to the f32
     trajectory (the fixed point is robust to operator quantization at the
