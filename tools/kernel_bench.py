@@ -42,23 +42,33 @@ def build(M, bandwidth, seed=0):
 
 
 def time_passes(op, x, n):
+    import functools
+
     import jax
 
     # op rides as a jit ARGUMENT (it is a pytree), never a closure capture:
     # captured arrays are embedded in the serialized module and the remote
     # compile service rejects >512MB requests (HTTP 413).
-    @jax.jit
-    def chain(o, v):
-        # 0.02 damping keeps the iterate finite over n unnormalized passes
+    @functools.partial(jax.jit, static_argnames="k")
+    def chain(o, v, k):
+        # 0.02 damping keeps the iterate finite over k unnormalized passes
         return jax.lax.fori_loop(
-            0, n, lambda i, v: o.matvec(v) * 0.02, v)
+            0, k, lambda i, v: o.matvec(v) * 0.02, v)
 
-    y = chain(op, x)
-    _ = float(y[0, 0])  # concrete fetch: the only reliable barrier here
-    t0 = time.time()
-    y = chain(op, x)
-    _ = float(y[0, 0])
-    return (time.time() - t0) / n
+    def timed(k, reps=4):
+        # min-of-reps first: remote-tunnel dispatch spikes (100-400 ms)
+        # would otherwise poison the difference
+        _ = float(chain(op, x, k)[0, 0])  # compile + warm; concrete fetch
+        best = float("inf")
+        for i in range(reps):
+            t0 = time.time()
+            _ = float(chain(op, x * (1.0 + 1e-6 * (i + 1)), k)[0, 0])
+            best = min(best, time.time() - t0)
+        return best
+
+    # difference n vs 2n chains: dispatch + pipeline-fill costs cancel
+    t_n, t_2n = timed(n), timed(2 * n)
+    return max((t_2n - t_n) / n, 1e-12)
 
 
 def time_cg(op, x, n):
@@ -148,23 +158,17 @@ def main():
         return dataclasses.replace(op, **kw)
 
     def time_memread(op, n):
-        """Pure HBM-read ceiling: reduce the block array once per pass.
-        The +a*1e-9 data dependence stops XLA hoisting the reduction out
-        of the loop; abs blocks algebraic simplification."""
-        ub = jax.tree_util.tree_leaves(op)[0]
+        """DMA-bound HBM read ceiling over the block array (pallas probe,
+        see sgvamp_tpu.ops.membench - a generic jnp reduction is VPU-bound
+        and understates the ceiling by >2x)."""
+        from sgvamp_tpu.ops.membench import measure_read_gbps
 
-        @jax.jit
-        def chain(u, a0):
-            return jax.lax.fori_loop(
-                0, n, lambda i, a: jnp.sum(jnp.abs(u + a * 1e-9),
-                                           dtype=jnp.float32), a0)
-
-        a = chain(ub, jnp.float32(0.0))
-        _ = float(a)
-        t0 = time.time()
-        a = chain(ub, jnp.float32(1.0))
-        _ = float(a)
-        return (time.time() - t0) / n
+        ub = op.upper if hasattr(op, "upper") else jax.tree_util.tree_leaves(op)[0]
+        gbps, per_pass = measure_read_gbps(
+            ub, n=max(10, n // 2), interpret=jax.default_backend() != "tpu")
+        # normalize so the shared bytes_per_pass/dt division below reports
+        # the probe's true GB/s
+        return op.bytes_per_pass() / (gbps * 1e9)
 
     for variant in args.variants.split(","):
         try:
