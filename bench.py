@@ -418,10 +418,13 @@ def _params():
 N_SAMPLES, LAM, H2 = 300000, 0.01, 0.7
 # TPU v5e HBM bandwidth spec (the BASELINE.md roofline reference point).
 HBM_SPEC_GBPS = 819.0
-# A/B'd on-chip (see README benchmark table): int8 per-block quantized LD
-# halves HBM bytes per pass vs bfloat16 at equal in-kernel rate, ~2x
-# iter/s, with alignment within the 0.02 gate of f32 (tests/test_cli.py).
-_DEFAULT_LD_DTYPE = "bfloat16"
+# A/B'd on-chip at M=512k/bw=256/B=256 (see README benchmark table):
+# int8 per-block quantized LD streams 0.339 ms/pass vs bfloat16's
+# 0.766 ms/pass (2.26x: half the bytes at a slightly higher achieved
+# GB/s), with trajectory alignment within the 0.02 gate of f32
+# (tests/test_cli.py::test_cli_ld_dtype_int8). B=128 ties B=256 at int8
+# (0.328 ms) and B=256 keeps cross-round comparability.
+_DEFAULT_LD_DTYPE = "int8"
 
 
 def _enable_compile_cache():

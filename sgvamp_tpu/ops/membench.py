@@ -91,8 +91,14 @@ def read_max(u: Array, interpret: bool = False) -> Array:
 
 def _prep(u: Array, chunk_bytes: int = 4 << 20):
     """Flatten + truncate to a whole number of equal chunks that divide the
-    array; returns (flat array, chunk_elems)."""
+    array; returns (flat array, chunk_elems). Byte-sized dtypes (int8
+    quantized LD blocks) are bitcast to bfloat16 — same bytes, same DMA —
+    because mosaic has no int8 reductions."""
     flat = u.reshape(-1)
+    if flat.dtype.itemsize == 1:
+        n2 = flat.size // 2 * 2
+        flat = jax.lax.bitcast_convert_type(
+            flat[:n2].reshape(-1, 2), jnp.bfloat16).reshape(-1)
     itemsize = flat.dtype.itemsize
     chunk_elems = max(_LANES, (chunk_bytes // itemsize) // _LANES * _LANES)
     n_chunks = flat.size // chunk_elems

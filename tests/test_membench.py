@@ -34,6 +34,18 @@ def test_read_max_bf16():
     np.testing.assert_allclose(got, want)
 
 
+def test_read_max_int8_bitcast():
+    """int8 arrays (quantized LD blocks) are probed via a bf16 bitcast -
+    mosaic has no int8 reductions; the probe must still run and touch the
+    same bytes (half the element count at twice the width)."""
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.integers(-127, 128, size=(1 << 20,)).astype(np.int8))
+    got = np.asarray(read_max(u, interpret=True))
+    assert got.shape == (8, 128)
+    flat, chunk = _prep(u)
+    assert flat.dtype == jnp.bfloat16 and flat.size == u.size // 2
+
+
 def test_measure_returns_finite_rate():
     rng = np.random.default_rng(2)
     u = jnp.asarray(rng.normal(size=(4 << 20,)).astype(np.float32))
