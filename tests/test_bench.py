@@ -27,4 +27,5 @@ def test_bench_step_child_small_cpu(tmp_path):
     assert lines, f"no JSON from bench child: {out.stderr[-500:]}"
     got = json.loads(lines[-1])
     assert got["finite"] is True
-    assert got["iter_s"] > 0
+    assert got["iter_s_samples"], "step child must report per-block samples"
+    assert all(s > 0 for s in got["iter_s_samples"])
