@@ -116,7 +116,12 @@ def _setup_tpu(band, r, N, lam, h2, cg_maxit, block_size):
     cfg = VampConfig(prior_update="em", dtype="float32", cg_maxit=cg_maxit,
                      cg_force_maxiter=True, em_prior_maxit=5, rho=0.5,
                      lmmse_damp=True)
-    prior = PriorState.create(lam, [1.0], [h2 / cm * (N * K)])
+    # The K>1 bench REPLICATES one cohort's data K times (a pure
+    # LD-traffic/compute scaling config), so the true signal's scale - and
+    # therefore the matched prior - is single-cohort h2/cm*N. Scaling by
+    # N*K mis-specifies the prior K-fold and destabilizes the trajectory
+    # (measured at xl/K=8: align NaNs by iteration 20).
+    prior = PriorState.create(lam, [1.0], [h2 / cm * N])
     inputs = VampInputs(op=op, r=jnp.asarray(rp),
                         a=jnp.full((K,), 1.0 / K, dt),
                         N=jnp.full((K,), float(N), dt),
@@ -535,13 +540,15 @@ def main():
         # exact accounting from the operator itself (includes int8 scales)
         bytes_per_pass = mv["bytes_per_pass"]
     else:  # analytic fallback (parent does no device work)
-        itemsize = {"bfloat16": 2, "int8": 1}.get(ld_dtype, 4)
+        itemsize = {"bfloat16": 2, "int8": 1, "int4": 0.5}.get(ld_dtype, 4)
         nb = -(-M // block_size)
         hb = -(-bandwidth // block_size)
         nd = (hb + 1) if operator == "sym" else (2 * hb + 1)
-        bytes_per_pass = K * nb * nd * block_size * block_size * itemsize
+        bytes_per_pass = int(K * nb * nd * block_size * block_size * itemsize)
         if ld_dtype == "int8":  # per-block f32 dequant scales stream too
             bytes_per_pass += K * nb * nd * 4
+        elif ld_dtype == "int4":  # per-ROW f32 dequant scales
+            bytes_per_pass += K * nb * nd * block_size * 4
     # Traffic accounting: the fused multi-RHS CG reads the block array
     # once per iteration for BOTH solves (the reference pays two reads),
     # plus one initial-residual pass and one fused gamw-learning pass.

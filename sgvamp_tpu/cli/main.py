@@ -64,9 +64,11 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--x64", help="Enable float64 (1/0); default on for CPU, off for TPU", default=None)
     g.add_argument("--dtype", help="Compute dtype: float32/float64/bfloat16", default=None)
     g.add_argument("--ld-dtype", help="LD block storage dtype (e.g. bfloat16 halves HBM "
-                   "footprint; int8 with per-block scales halves it again, sym "
-                   "operator only; matvec still accumulates in float32); "
-                   "defaults to --dtype",
+                   "footprint; int8 with per-block scales halves it again; "
+                   "int4 packs two values per byte with per-row scales and "
+                   "halves it once more (lossier: ~16 quantization levels "
+                   "per row) - both sym operator only; matvec still "
+                   "accumulates in float32); defaults to --dtype",
                    default=None)
     g.add_argument("--mesh-cohort", help="Mesh size over the cohort axis", type=int, default=1)
     g.add_argument("--mesh-shard", help="Mesh size over the marker-shard axis", type=int, default=None)
@@ -169,11 +171,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         jax.config.update("jax_enable_x64", True)
     dtype = args.dtype or ("float64" if want_x64 else "float32")
     ld_dtype = args.ld_dtype or dtype
-    if ld_dtype == "int8" and args.operator != "sym":
-        # Only the sym kernel carries per-block dequantization scales; a
-        # plain cast would truncate correlations in [-1, 1] to zero and
-        # silently produce garbage.
-        raise SystemExit("--ld-dtype int8 requires --operator sym")
+    if ld_dtype in ("int8", "int4") and args.operator != "sym":
+        # Only the sym kernel carries dequantization scales; a plain cast
+        # would truncate correlations in [-1, 1] to zero and silently
+        # produce garbage.
+        raise SystemExit(f"--ld-dtype {ld_dtype} requires --operator sym")
 
     import jax.numpy as jnp
 
@@ -294,7 +296,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         dropped = 0
         # int8 quantizes at block-pack time (per-block scales inside
         # from_band); the staged band arrays must stay float.
-        band_dtype = np.dtype(np.float32 if ld_dtype == "int8" else ld_dtype)
+        band_dtype = np.dtype(
+            np.float32 if ld_dtype in ("int8", "int4") else ld_dtype)
         if all_ld_tables:
             bands, rs_list, bw, dropped = loaders.ld_files_to_bands(
                 ld_paths, rs, panel, args.bandwidth, dtype=band_dtype)
@@ -322,7 +325,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             scales = (jnp.concatenate([o.scales for o in ops], axis=0)
                       if ops[0].scales is not None else None)
             op = SymBandedLD(upper=jnp.concatenate([o.upper for o in ops], axis=0),
-                             scales=scales, s=s)
+                             scales=scales, s=s, packed=ops[0].packed)
         else:
             ops = [BandedLD.from_band(bands[k], block_size=B, s=s, dtype=ld_dtype)
                    for k in range(K)]
@@ -354,7 +357,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             # on this path (it would cost O(K*M^2) host memory at exactly
             # the large M the sym operator targets)
             from sgvamp_tpu.ops.band_kernel import SymBandedLD
-            band_dtype = np.dtype(np.float32 if ld_dtype == "int8" else ld_dtype)
+            band_dtype = np.dtype(
+                np.float32 if ld_dtype in ("int8", "int4") else ld_dtype)
             bands_k, dropped = [], 0
             for R in Rs:
                 band_k, _, d_k = loaders.csr_to_band(R, args.bandwidth,
@@ -374,7 +378,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             scales = (jnp.concatenate([o.scales for o in ops], axis=0)
                       if ops[0].scales is not None else None)
             op = SymBandedLD(upper=jnp.concatenate([o.upper for o in ops], axis=0),
-                             scales=scales, s=s)
+                             scales=scales, s=s, packed=ops[0].packed)
             Mp = ops[0].M
             pad = Mp - M
         elif args.operator == "banded":

@@ -179,7 +179,8 @@ def _sym_slab_matvec(ub: Array, x: Array, interpret: bool = False,
 def _sym_band_kernel_streamed(ub_ref, xc_ref, xn_ref, sc_ref, y_ref, cout_ref,
                               cin_ref, carry_ref, *, hb: int, B: int, nb: int,
                               G: int, S: int, spill: bool,
-                              quantized: bool = False):
+                              quantized: bool = False,
+                              packed4: bool = False):
     """Streamed flavor: x and y are chunked over HBM instead of living whole
     in VMEM, so M is unbounded (the resident kernel caps at ~600k markers).
 
@@ -202,12 +203,25 @@ def _sym_band_kernel_streamed(ub_ref, xc_ref, xn_ref, sc_ref, y_ref, cout_ref,
     the VPU before its matmul and the dot OUTPUT is scaled by the block's
     f32 scale from sc_ref (exact, since the scale is scalar per block) -
     halving LD HBM traffic vs bf16 storage. sc_ref is ones otherwise.
+
+    packed4=True: ub holds two int4 values per byte, packed along the
+    block's column axis as contiguous HALVES - byte [p, j] carries
+    Q[p, j] in its low nibble and Q[p, j + B/2] in its high nibble - so
+    both matmul orientations decompose into two half-width matmuls over
+    contiguous slices (no lane interleaves anywhere). Scales are PER ROW
+    of each block (sc_ref block (1, G, hb+1, B), indexed by the block's
+    p axis), applied on the output side for the row part and folded into
+    x for the mirror part - exact in both orientations. The d=0 diagonal
+    block is stored with its unit diagonal STRIPPED (from_band subtracts
+    I before quantizing; the kernel adds x_g back), so the per-row scale
+    adapts to off-diagonal magnitude instead of being pinned at 1/7.
     """
     c = pl.program_id(1)
     C = pl.num_programs(1)
     acc_dt = jnp.promote_types(xc_ref.dtype, jnp.float32)
-    if quantized:
+    if quantized or packed4:
         acc_dt = jnp.float32
+    Bh = B // 2
 
     @pl.when(c == 0)
     def _():
@@ -229,6 +243,40 @@ def _sym_band_kernel_streamed(ub_ref, xc_ref, xn_ref, sc_ref, y_ref, cout_ref,
     def scaled(out, g_idx, d):
         return out * sc_ref[0, g_idx, d] if quantized else out
 
+    def unpack4(g_idx, d):
+        # Sign-extend both nibbles via int32 shifts (Mosaic-safe); values
+        # in [-8, 7] convert to bf16 exactly.
+        p32 = ub_ref[0, g_idx, d].astype(jnp.int32)  # (B, Bh)
+        lo = jnp.right_shift(jnp.left_shift(p32, 28), 28)
+        hi = jnp.right_shift(p32, 4)
+        return lo.astype(jnp.bfloat16), hi.astype(jnp.bfloat16)
+
+    def rowdot(g_idx, d, xfull):
+        # y[s, p] = sum_q xfull[s, q] * U[g_idx, d][p, q]
+        if packed4:
+            lo, hi = unpack4(g_idx, d)
+            out = (jnp.dot(xfull[:, :Bh], lo.T, preferred_element_type=acc_dt)
+                   + jnp.dot(xfull[:, Bh:], hi.T, preferred_element_type=acc_dt))
+            out = out * sc_ref[0, g_idx, d]  # per-row scale on the p axis
+            if d == 0:  # re-add the stripped unit diagonal
+                out += xfull.astype(acc_dt)
+            return out
+        return scaled(jnp.dot(xfull, blk(g_idx, d).T,
+                              preferred_element_type=acc_dt), g_idx, d)
+
+    def mirdot(g_idx, d, xfull):
+        # y[s, q] = sum_p xfull[s, p] * U[g_idx, d][p, q]   (d >= 1 only)
+        if packed4:
+            lo, hi = unpack4(g_idx, d)
+            # per-row scale rides the contraction axis: fold it into x
+            xs = (xfull.astype(jnp.float32)
+                  * sc_ref[0, g_idx, d]).astype(jnp.bfloat16)
+            return jnp.concatenate(
+                [jnp.dot(xs, lo, preferred_element_type=acc_dt),
+                 jnp.dot(xs, hi, preferred_element_type=acc_dt)], axis=-1)
+        return scaled(jnp.dot(xfull, blk(g_idx, d),
+                              preferred_element_type=acc_dt), g_idx, d)
+
     # Row part reads x up to hb blocks past the chunk; without spill those
     # reads land past nb only in the very last chunk (where the clamped
     # x_next holds stale-but-finite data), so the contribution is zeroed.
@@ -240,24 +288,18 @@ def _sym_band_kernel_streamed(ub_ref, xc_ref, xn_ref, sc_ref, y_ref, cout_ref,
         if hb > 0 and g < hb:
             acc += cin_ref[:, pl.ds(g * B, B)]
         for d in range(hb + 1):
-            contrib = scaled(
-                jnp.dot(xblk(g + d), blk(g, d).T, preferred_element_type=acc_dt),
-                g, d)
+            contrib = rowdot(g, d, xblk(g + d))
             if g + d >= G and not spill:
                 contrib = contrib * not_last
             acc += contrib
         for d in range(1, hb + 1):
             p = g - d
             if p >= 0:
-                acc += scaled(
-                    jnp.dot(xblk(p), blk(p, d), preferred_element_type=acc_dt),
-                    p, d)
+                acc += mirdot(p, d, xblk(p))
         y_ref[0, :, pl.ds(g * B, B)] = acc.astype(y_ref.dtype)
         for d in range(1, hb + 1):
             if g + d >= G:
-                mirror = scaled(
-                    jnp.dot(x_g, blk(g, d), preferred_element_type=acc_dt),
-                    g, d)
+                mirror = mirdot(g, d, x_g)
                 if not spill:
                     mirror = mirror * not_last
                 carry_ref[:, pl.ds((g + d - G) * B, B)] += mirror
@@ -406,10 +448,12 @@ def _pick_chunk_rows(nb: int, hb: int, panel_bytes_per_row: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("nb", "interpret", "rows_per_step", "spill"))
+                   static_argnames=("nb", "interpret", "rows_per_step", "spill",
+                                    "packed4"))
 def _sym_band_matvec_streamed(ub: Array, x: Array, nb: int,
                               interpret: bool = False, rows_per_step: int = 0,
-                              spill: bool = False, scales: Array = None):
+                              spill: bool = False, scales: Array = None,
+                              packed4: bool = False):
     """(y, carry_out) = streamed symmetric block-banded matvec.
 
     ub: (K, nb, hb+1, B, B) upper blocks; x: (K, S, Mx) where Mx = nb*B,
@@ -418,18 +462,24 @@ def _sym_band_matvec_streamed(ub: Array, x: Array, nb: int,
     past the last local row (zeros unless spill=True).
     scales: (K, nb, hb+1) f32 per-block dequantization scales, required
     when ub is int8 (see SymBandedLD.from_band dtype="int8").
+    packed4: ub is (K, nb, hb+1, B, B//2) int8 holding two int4 values per
+    byte (contiguous-halves packing) and scales is (K, nb, hb+1, B)
+    per-row (see from_band dtype="int4").
     """
-    K, nb_u, hbp1, B, _ = ub.shape
+    K, nb_u, hbp1, B, Bp = ub.shape
+    if packed4:
+        B = 2 * Bp
     assert nb_u == nb
     hb = hbp1 - 1
     S = x.shape[1]
-    quantized = ub.dtype == jnp.int8
-    out_dt = jnp.float32 if quantized else jnp.promote_types(x.dtype, jnp.float32)
+    quantized = ub.dtype == jnp.int8 and not packed4
+    out_dt = (jnp.float32 if quantized or packed4
+              else jnp.promote_types(x.dtype, jnp.float32))
     if scales is None:
-        assert not quantized, "int8 blocks need per-block scales"
+        assert not (quantized or packed4), "quantized blocks need scales"
         scales = jnp.ones((K, nb, hbp1), jnp.float32)
     hbB = max(hb, 1) * B
-    panel_row = hbp1 * B * B * ub.dtype.itemsize
+    panel_row = hbp1 * B * Bp * ub.dtype.itemsize
     stream_row = S * B * (3 * x.dtype.itemsize + jnp.dtype(out_dt).itemsize)
     G = rows_per_step or _pick_chunk_rows(nb, hb, panel_row, stream_row)
     if nb % G or G < hb:
@@ -439,20 +489,25 @@ def _sym_band_matvec_streamed(ub: Array, x: Array, nb: int,
     if spill and x.shape[2] != (nb + G) * B:
         raise ValueError("spill=True needs x halo-extended to (nb + G) * B")
     kernel = functools.partial(_sym_band_kernel_streamed, hb=hb, B=B, nb=nb,
-                               G=G, S=S, spill=spill, quantized=quantized)
+                               G=G, S=S, spill=spill, quantized=quantized,
+                               packed4=packed4)
+    sc_spec = (pl.BlockSpec((1, G, hbp1, B), lambda k, c: (k, c, 0, 0),
+                            memory_space=pltpu.VMEM)
+               if packed4 else
+               pl.BlockSpec((1, G, hbp1), lambda k, c: (k, c, 0),
+                            memory_space=pltpu.VMEM))
     return pl.pallas_call(
         kernel,
         grid=(K, C),
         in_specs=[
-            pl.BlockSpec((1, G, hbp1, B, B), lambda k, c: (k, c, 0, 0, 0),
+            pl.BlockSpec((1, G, hbp1, B, Bp), lambda k, c: (k, c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, S, G * B), lambda k, c: (k, 0, c),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, S, G * B),
                          lambda k, c: (k, 0, jnp.minimum(c + 1, Cx - 1)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, hbp1), lambda k, c: (k, c, 0),
-                         memory_space=pltpu.VMEM),
+            sc_spec,
         ],
         out_specs=[
             pl.BlockSpec((1, S, G * B), lambda k, c: (k, 0, c),
@@ -534,6 +589,18 @@ def _sym_band_matvec(ub: Array, x: Array, interpret: bool = False,
     )(ub, x)
 
 
+def _unpack_int4(packed: Array) -> Array:
+    """(..., B, B//2) int8 contiguous-halves packed -> (..., B, B) int32.
+
+    Low nibble holds column j, high nibble column j + B/2 (sign-extended
+    via arithmetic shifts); the inverse of from_band's dtype="int4" pack.
+    """
+    p32 = packed.astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(p32, 28), 28)
+    hi = jnp.right_shift(p32, 4)
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SymBandedLD:
@@ -548,7 +615,14 @@ class SymBandedLD:
     # upper is int8 (dtype="int8" at from_band: per-block symmetric
     # quantization q = round(U/scale), scale = max|U|/127 - halves LD HBM
     # traffic vs bf16; supported by the streamed diag kernel).
+    # For dtype="int4" (packed=True) scales are PER ROW: (K, nb, hb+1, B).
     scales: Array = None
+    # int4 packing: upper is (K, nb, hb+1, B, B//2) int8, two 4-bit values
+    # per byte packed along the column axis as contiguous halves (low
+    # nibble = column j, high nibble = column j + B/2), per-row scales,
+    # unit diagonal of the d=0 block stripped (the kernel re-adds x) -
+    # quarters LD HBM traffic vs bf16 storage.
+    packed: bool = dataclasses.field(default=False, metadata=dict(static=True))
     s: float = dataclasses.field(default=0.0, metadata=dict(static=True))
     rows_per_step: int = dataclasses.field(default=0, metadata=dict(static=True))
     window: bool = dataclasses.field(default=False, metadata=dict(static=True))
@@ -581,7 +655,7 @@ class SymBandedLD:
 
     @property
     def B(self) -> int:
-        return self.upper.shape[-1]
+        return self.upper.shape[-1] * 2 if self.packed else self.upper.shape[-1]
 
     @property
     def M(self) -> int:
@@ -604,7 +678,8 @@ class SymBandedLD:
 
     @property
     def quantized(self) -> bool:
-        return self.upper.dtype == jnp.int8
+        """int8 per-block quantized storage (int4 is `packed` instead)."""
+        return self.upper.dtype == jnp.int8 and not self.packed
 
     def diag_blocks(self) -> Array:
         """(K, nb, B, B) regularized diagonal blocks of Rused (for the
@@ -615,9 +690,14 @@ class SymBandedLD:
             D = jnp.swapaxes(self.upper[:, :, :self.B, :], -1, -2)
         else:
             D = self.upper[:, :, 0]
-        D = D.astype(jnp.float32)
-        if self.quantized:
-            D = D * self.scales[:, :, 0, None, None]
+        if self.packed:
+            D = _unpack_int4(D).astype(jnp.float32)
+            D = D * self.scales[:, :, 0, :, None]  # per-row (p axis)
+            D = D + jnp.eye(self.B, dtype=D.dtype)  # stripped unit diagonal
+        else:
+            D = D.astype(jnp.float32)
+            if self.quantized:
+                D = D * self.scales[:, :, 0, None, None]
         if self.s != 0.0:
             eye = jnp.eye(self.B, dtype=D.dtype)
             D = (1.0 - self.s) * D + self.s * eye
@@ -628,8 +708,9 @@ class SymBandedLD:
         S = x.shape[0] // K
         interpret = jax.default_backend() != "tpu"
         xs = x.reshape(S, K, self.M).transpose(1, 0, 2)  # (K, S, M)
-        # int8 blocks dequantize to bf16 in-kernel; x rides in bf16 too.
-        comp_dt = jnp.bfloat16 if self.quantized else self.upper.dtype
+        # int8/int4 blocks dequantize to bf16 in-kernel; x rides in bf16 too.
+        comp_dt = (jnp.bfloat16 if self.quantized or self.packed
+                   else self.upper.dtype)
         xs = xs.astype(comp_dt)
         if self.mesh is not None:
             y = self._matvec_sharded(xs, interpret)
@@ -648,17 +729,18 @@ class SymBandedLD:
         else:
             y, _ = _sym_band_matvec_streamed(
                 self.upper, xs, self.nb, interpret=interpret,
-                rows_per_step=self.rows_per_step, scales=self.scales)
+                rows_per_step=self.rows_per_step, scales=self.scales,
+                packed4=self.packed)
         y = y.transpose(1, 0, 2).reshape(x.shape).astype(x.dtype)
         if self.s != 0.0:
             y = (1.0 - self.s) * y + self.s * x
         return y
 
     def _use_resident(self, S: int, x_itemsize: int) -> bool:
-        if self.quantized:
+        if self.quantized or self.packed:
             if self.mode == "resident":
                 raise ValueError(
-                    "int8-quantized SymBandedLD has no resident kernel "
+                    "quantized SymBandedLD has no resident kernel "
                     "(dequant lives in the streamed flavor); use "
                     "mode='streamed' or 'auto'")
             return False
@@ -703,9 +785,11 @@ class SymBandedLD:
 
         slab = self.layout == "slab"
 
+        packed = self.packed
+
         def local_fn(ub_l, x_l, sc_l):
             K_l, S, M_l = x_l.shape
-            panel_row = (hb + 1) * B * B * ub_l.dtype.itemsize
+            panel_row = (hb + 1) * B * ub_l.shape[-1] * ub_l.dtype.itemsize
             stream_row = S * B * (3 * x_l.dtype.itemsize + 4)
             G = self.rows_per_step or _pick_chunk_rows(nb_l, hb, panel_row,
                                                        stream_row)
@@ -720,7 +804,7 @@ class SymBandedLD:
             else:
                 y_l, spill = _sym_band_matvec_streamed(
                     ub_l, x_ext, nb_l, interpret=interpret, rows_per_step=G,
-                    spill=True, scales=sc_l)
+                    spill=True, scales=sc_l, packed4=packed)
             incoming = jax.lax.ppermute(spill, SHARD_AXIS, left_to_right)
             return y_l.at[:, :, :hbB].add(incoming)
 
@@ -730,10 +814,11 @@ class SymBandedLD:
         scales = self.scales
         if scales is None:
             scales = jnp.ones((self.K, nb, hb + 1), jnp.float32)
+        sc_spec = (P(COHORT_AXIS, SHARD_AXIS, None, None) if packed
+                   else P(COHORT_AXIS, SHARD_AXIS, None))
         return shard_map(
             local_fn, mesh=mesh,
-            in_specs=(ub_spec, P(COHORT_AXIS, None, SHARD_AXIS),
-                      P(COHORT_AXIS, SHARD_AXIS, None)),
+            in_specs=(ub_spec, P(COHORT_AXIS, None, SHARD_AXIS), sc_spec),
             out_specs=P(COHORT_AXIS, None, SHARD_AXIS),
         )(self.upper, xs, scales)
 
@@ -748,8 +833,9 @@ class SymBandedLD:
         """
         band = np.asarray(band)
         quantize = dtype in ("int8", np.int8, jnp.int8)
-        if quantize and layout == "slab":
-            raise ValueError("int8 quantization supports the diag layout only")
+        quantize4 = dtype == "int4"
+        if (quantize or quantize4) and layout == "slab":
+            raise ValueError("quantization supports the diag layout only")
         M, nd_full = band.shape
         bw = (nd_full - 1) // 2
         B = block_size
@@ -762,7 +848,8 @@ class SymBandedLD:
         nb = M // B
         hb = -(-bw // B)
         band_r = band.reshape(nb, B, nd_full)
-        out_dtype = np.float32 if quantize else (dtype or band.dtype)
+        out_dtype = (np.float32 if quantize or quantize4
+                     else (dtype or band.dtype))
         upper = np.zeros((nb, hb + 1, B, B), dtype=out_dtype)
         p = np.arange(B)[:, None]
         q = np.arange(B)[None, :]
@@ -798,6 +885,24 @@ class SymBandedLD:
             upper = np.clip(np.rint(upper / safe[..., None, None]),
                             -127, 127).astype(np.int8)
             scales = sc.astype(np.float32)
+        elif quantize4:
+            # int4: strip the unit diagonal of the d=0 block first (the
+            # kernel adds x back), so the scale adapts to the off-diagonal
+            # magnitude; quantize with PER-ROW scales (16 levels stretch a
+            # lot further when rows with weak LD get their own range);
+            # pack two values per byte along the column axis as contiguous
+            # halves (low nibble = column j, high nibble = column j+B/2).
+            if B % 2:
+                raise ValueError("int4 packing needs an even block size")
+            upper[:, 0] -= np.eye(B, dtype=upper.dtype)
+            amax = np.abs(upper).max(axis=-1)  # (nb, hb+1, B) per row
+            sc = amax / 7.0
+            safe = np.where(sc == 0.0, 1.0, sc)
+            q = np.clip(np.rint(upper / safe[..., None]), -7, 7).astype(np.int32)
+            lo = (q[..., :B // 2] & 0xF).astype(np.uint8)
+            hi = ((q[..., B // 2:] & 0xF) << 4).astype(np.uint8)
+            upper = (lo | hi).view(np.int8)
+            scales = sc.astype(np.float32)
         if layout == "slab":
             # T_i[d*B + q, p] = U[i, d][p, q]
             upper = upper.transpose(0, 1, 3, 2).reshape(nb, (hb + 1) * B, B)
@@ -807,13 +912,20 @@ class SymBandedLD:
             sc_stacked = jnp.asarray(
                 scales[None] if K == 1 else np.repeat(scales[None], K, axis=0))
         return SymBandedLD(upper=jnp.asarray(stacked), scales=sc_stacked,
-                           s=s, layout=layout)
+                           s=s, layout=layout, packed=quantize4)
 
     def to_dense(self) -> Array:
         """Materialize (K, M, M) - tests only."""
         K, nb, hbp1, B = self.K, self.nb, self.hb + 1, self.B
         up = np.asarray(self.upper)
-        if self.quantized:
+        if self.packed:
+            p32 = up.astype(np.int32)
+            lo = (p32 << 28) >> 28
+            hi = p32 >> 4
+            q = np.concatenate([lo, hi], axis=-1).astype(np.float32)
+            up = q * np.asarray(self.scales)[..., :, None]  # per-row
+            up[:, :, 0] += np.eye(B, dtype=up.dtype)  # stripped diagonal
+        elif self.quantized:
             up = up.astype(np.float32) * np.asarray(self.scales)[..., None, None]
         if self.layout == "slab":
             up = up.reshape(K, nb, hbp1, B, B).transpose(0, 1, 2, 4, 3)

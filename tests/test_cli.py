@@ -141,6 +141,39 @@ def test_cli_ld_dtype_int8(sim_dir, tmp_path):
     assert abs(aligns["int8"] - aligns["f32"]) < 0.02
 
 
+def test_cli_ld_dtype_int4(sim_dir, tmp_path):
+    """--ld-dtype int4 with --operator sym: packed 4-bit LD storage with
+    per-row scales (1/8 the f32 HBM traffic) must stay usable on an easy
+    problem — coarser than int8, so the alignment gate is looser."""
+    aligns = {}
+    for name, extra in [("f32", []), ("int4", ["--ld-dtype", "int4"])]:
+        out = tmp_path / name
+        rc = cli_main.main([
+            "--ld-files", str(sim_dir / "sim_R.npy"),
+            "--r-files", str(sim_dir / "sim_r.npy"),
+            "--true-signal-file", str(sim_dir / "sim_bet.npy"),
+            "--out-dir", str(out), "--out-name", "t",
+            "--N", "1500", "--M", "200", "--iterations", "5",
+            "--s", "0.1", "--platform", "cpu", "--dtype", "float32",
+            "--x64", "0", "--operator", "sym", "--block-size", "64",
+            "--bandwidth", "200", "--seed", "7",
+        ] + extra)
+        assert rc == 0
+        aligns[name] = float(_read_csv(out / "t_metrics.csv")[-1][1])
+    assert aligns["int4"] > 0.9
+    assert abs(aligns["int4"] - aligns["f32"]) < 0.05
+
+
+def test_cli_int4_requires_sym():
+    with pytest.raises(SystemExit, match="int4 requires"):
+        cli_main.main([
+            "--ld-files", "x.npy", "--r-files", "x.npy",
+            "--out-dir", "/tmp/x", "--out-name", "t",
+            "--N", "100", "--M", "10", "--operator", "banded",
+            "--ld-dtype", "int4",
+        ])
+
+
 def test_cli_multi_cohort(tmp_path):
     d = tmp_path / "simk"
     d.mkdir()

@@ -328,6 +328,132 @@ def test_int8_sharded_matches_unsharded():
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.parametrize("B,bw,G", [(128, 48, 0), (128, 200, 2), (256, 100, 0)])
+def test_int4_packed_matvec(B, bw, G):
+    """int4 contiguous-halves packed storage (two values per byte, per-row
+    scales, stripped unit diagonal on the d=0 block): the kernel must
+    reproduce the dequantized matrix's matvec to bf16-compute accuracy,
+    and stay within the (coarser, 4-bit) quantization bound of the
+    unquantized result."""
+    rng = np.random.default_rng(8)
+    M = 700
+    band, _, _ = simulate_ld_band(10000, M, bandwidth=bw, rng=rng,
+                                  dtype=np.float64)
+    R = band_to_dense(band)
+    op = dataclasses.replace(
+        SymBandedLD.from_band(band, block_size=B, dtype="int4"),
+        rows_per_step=G)
+    assert op.packed and not op.quantized
+    assert str(op.upper.dtype) == "int8"
+    assert op.upper.shape[-1] == B // 2  # two values per byte
+    assert op.scales.shape == (1, op.nb, op.hb + 1, B)  # per ROW
+    # int4 quarters traffic vs bf16 (per-row f32 scales add 4/B per block)
+    bf16_bytes = op.nb * (op.hb + 1) * B * B * 2
+    assert op.bytes_per_pass() < (0.25 + 2.5 / B) * bf16_bytes
+    x = rng.normal(size=(2, op.M))
+    y = np.asarray(op.matvec(jnp.asarray(x, jnp.float32)), np.float64)
+    # vs the dequantized matrix: the row orientation applies the per-row
+    # scale on the f32 output (exact); the mirror orientation must fold it
+    # into x across the contraction, costing one extra bf16 round (~2^-8
+    # relative) - so the bound is bf16-compute, not f32-exact like int8.
+    Rq = np.asarray(op.to_dense(), np.float64)[0]
+    want_q = x.astype(jnp.bfloat16).astype(np.float64) @ Rq.T
+    scale = np.abs(want_q).max()
+    np.testing.assert_allclose(y / scale, want_q / scale, atol=5e-4)
+    # within quantization error of the true matrix (16 levels per row)
+    full = np.zeros((op.M, op.M))
+    full[:M, :M] = R
+    full[M:, M:] = np.eye(op.M - M)
+    want = x @ full.T
+    np.testing.assert_allclose(y / scale, want / scale, atol=6e-2)
+
+
+def test_int4_diagonal_exact():
+    """The d=0 block's unit diagonal is stripped before quantization and
+    re-added by the kernel, so R's exact 1.0 diagonal survives int4 even
+    when off-diagonal LD is weak (a pinned 1/7 scale would wreck it)."""
+    rng = np.random.default_rng(4)
+    band, _, _ = simulate_ld_band(50000, 256, bandwidth=24, rng=rng,
+                                  dtype=np.float64)
+    op = SymBandedLD.from_band(band, block_size=128, dtype="int4")
+    D = np.asarray(op.to_dense())[0]
+    np.testing.assert_allclose(np.diag(D), 1.0, atol=1e-7)
+    # identity vector through the kernel: y[j] ~ row sums, diagonal exact
+    x = np.zeros((1, op.M), np.float32)
+    x[0, 5] = 1.0
+    y = np.asarray(op.matvec(jnp.asarray(x)))
+    assert abs(y[0, 5] - D[5, 5]) < 1e-4
+
+
+def test_int4_resident_mode_rejected():
+    rng = np.random.default_rng(3)
+    band, _, _ = simulate_ld_band(10000, 256, bandwidth=32, rng=rng,
+                                  dtype=np.float64)
+    op = dataclasses.replace(
+        SymBandedLD.from_band(band, block_size=128, dtype="int4"),
+        mode="resident")
+    with pytest.raises(ValueError, match="no resident kernel"):
+        op.matvec(jnp.ones((2, op.M), jnp.float32))
+
+
+def test_int4_engine_close_to_f32():
+    """Full VAMP trajectory with int4 LD storage: coarser than int8 but
+    the fixed point must stay in the same basin (correlated final xhat)."""
+    rng = np.random.default_rng(9)
+    N, M, lam, h2, iters = 20000, 400, 0.1, 0.7, 4
+    band, r, x0 = simulate_ld_band(N, M, bandwidth=32, rng=rng,
+                                   dtype=np.float64, h2=h2, lam=lam)
+    u = (rng.integers(0, 2, size=(iters, 1, 512)) * 2 - 1).astype(np.float64)
+    cfg = VampConfig(prior_update="em", dtype="float32", cg_maxit=200,
+                     cg_rtol=1e-7)
+    prior = PriorState.create(lam, [1.0], [h2 / int(M * lam) * N])
+    hists = {}
+    for name, op in [
+            ("f32", SymBandedLD.from_band(band, block_size=128,
+                                          dtype="float32")),
+            ("int4", SymBandedLD.from_band(band, block_size=128,
+                                           dtype="int4"))]:
+        Mp = op.M
+        mask = np.zeros(Mp)
+        mask[:M] = 1.0
+        rp = np.zeros(Mp)
+        rp[:M] = r
+        inputs = VampInputs(op=op, r=jnp.asarray(rp, jnp.float32)[None],
+                            a=jnp.asarray([1.0], jnp.float32),
+                            N=jnp.asarray([float(N)], jnp.float32),
+                            mask=jnp.asarray(mask, jnp.float32))
+        hists[name] = VampEngine(inputs, cfg, prior).run(
+            iters, fixed_u=u[:, :, :Mp], M_out=M)
+    for it in range(iters):
+        a, b = hists["int4"]["xhat1"][it], hists["f32"]["xhat1"][it]
+        denom = np.linalg.norm(b) + 1e-30
+        assert np.linalg.norm(a - b) / denom < 0.15, f"iteration {it}"
+    ca = np.corrcoef(hists["int4"]["xhat1"][-1], hists["f32"]["xhat1"][-1])[0, 1]
+    assert ca > 0.995
+
+
+def test_int4_sharded_matches_unsharded():
+    """int4 through the shard_map path: the 4-d per-row scales leaf must
+    shard over block rows alongside the packed blocks."""
+    from sgvamp_tpu.parallel.sharding import make_mesh, shard_inputs
+
+    rng = np.random.default_rng(10)
+    M, B, bw = 512, 64, 100
+    band, r, _ = simulate_ld_band(20000, M, bandwidth=bw, rng=rng,
+                                  dtype=np.float64)
+    op = SymBandedLD.from_band(band, block_size=B, dtype="int4")
+    x = rng.normal(size=(2, op.M)).astype(np.float32)
+    want = np.asarray(op.matvec(jnp.asarray(x)))
+    mesh = make_mesh(1, 4)
+    inputs = VampInputs(op=op, r=jnp.asarray(r, jnp.float32)[None],
+                        a=jnp.asarray([1.0]), N=jnp.asarray([20000.0]))
+    sh = shard_inputs(inputs, mesh)
+    assert sh.op.mesh is mesh
+    assert "shard" in str(sh.op.scales.sharding.spec)
+    got = np.asarray(sh.op.matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_matches_banded_operator_in_engine():
     """Full engine equivalence: SymBandedLD vs BandedLD trajectories."""
     rng = np.random.default_rng(1)
