@@ -52,17 +52,22 @@ def _stage(msg):
     print(f"[bench] {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr, flush=True)
 
 
-def build_problem(M, bandwidth, N, lam, h2, seed=0):
+def build_problem(M, bandwidth, N, lam, h2, seed=0, K=1):
+    """K > 1 returns r of shape (K, M): K independent cohorts (shared panel
+    + signal, independent noise draws) - a genuine meta-analysis. Identical
+    replication instead makes the meta denoiser overconfident by K and the
+    EM prior collapses (measured: lam 0.01 -> 0.91 in 3 iterations)."""
     from sgvamp_tpu.data.simulate import simulate_ld_band
 
+    ktag = f"_K{K}" if K > 1 else ""
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         f".bench_problem_M{M}_bw{bandwidth}_s{seed}.npz")
+                         f".bench_problem_M{M}_bw{bandwidth}{ktag}_s{seed}.npz")
     if os.path.exists(cache):
         with np.load(cache) as d:
             return d["band"], d["r"], d["x0"]
     rng = np.random.default_rng(seed)
     band, r, x0 = simulate_ld_band(N, M, bandwidth, h2=h2, lam=lam, rng=rng,
-                                   dtype=np.float32)
+                                   dtype=np.float32, n_r=K)
     try:
         np.savez(cache, band=band, r=r, x0=x0)
     except OSError:
@@ -78,7 +83,7 @@ def _setup_tpu(band, r, N, lam, h2, cg_maxit, block_size):
     from sgvamp_tpu.core import vamp as V
     from sgvamp_tpu.core.operators import BandedLD
 
-    M = r.shape[0]
+    M = r.shape[-1]  # r is (M,) or (K, M) independent cohorts
     cm = max(int(M * lam), 1)
     K = int(os.environ.get("SGVAMP_BENCH_K", "1"))
     _stage("packing blocks + device transfer")
@@ -116,11 +121,11 @@ def _setup_tpu(band, r, N, lam, h2, cg_maxit, block_size):
     cfg = VampConfig(prior_update="em", dtype="float32", cg_maxit=cg_maxit,
                      cg_force_maxiter=True, em_prior_maxit=5, rho=0.5,
                      lmmse_damp=True)
-    # The K>1 bench REPLICATES one cohort's data K times (a pure
-    # LD-traffic/compute scaling config), so the true signal's scale - and
-    # therefore the matched prior - is single-cohort h2/cm*N. Scaling by
-    # N*K mis-specifies the prior K-fold and destabilizes the trajectory
-    # (measured at xl/K=8: align NaNs by iteration 20).
+    # K>1 cohorts share the panel and the true signal (independent noise
+    # draws, build_problem K=...), so the matched slab variance is the
+    # single-cohort signal scale h2/cm*N regardless of K (scaling by N*K
+    # mis-specifies the prior K-fold; measured at xl/K=8: align NaNs by
+    # iteration 20).
     prior = PriorState.create(lam, [1.0], [h2 / cm * N])
     inputs = VampInputs(op=op, r=jnp.asarray(rp),
                         a=jnp.full((K,), 1.0 / K, dt),
@@ -210,6 +215,27 @@ def time_step_child(band, r, N, lam, h2, iters, cg_maxit, block_size, x0=None,
     _ = float(aux.gamw[0])
     compile_s = time.time() - t0
 
+    def _align(s):
+        xh = np.asarray(s.xhat1[: x0.shape[0]], np.float64)
+        denom = np.linalg.norm(xh) * np.linalg.norm(x0)
+        return float(xh @ np.asarray(x0, np.float64) / denom) if denom else 0.0
+
+    # Quality gate at the REFERENCE's default iteration budget
+    # (iterations=10, reference src/main.py:37): run 9 more steps (one is
+    # the compile warmup above) and record alignment vs the true signal.
+    # gVAMP is an early-stopped algorithm - iterated far past convergence
+    # the unguarded precision recursion eventually overflows (the
+    # reference's own f64/scipy math does the same; see VampConfig.
+    # clip_alpha2) - so the gate must sit at the operating point, not
+    # after however many steps the timing blocks happen to run.
+    align = -1.0
+    if x0 is not None:
+        _stage("quality gate: 10 reference-default iterations")
+        for _ in range(9):
+            state, aux = step(state, inputs)
+        _ = float(aux.gamw[0])
+        align = _align(state)
+
     _stage(f"timing {repeats} blocks x {iters} steps")
     samples = []
     for _ in range(repeats):
@@ -219,13 +245,6 @@ def time_step_child(band, r, N, lam, h2, iters, cg_maxit, block_size, x0=None,
         _ = float(aux.gamw[0])  # chain dependency forces all iters
         samples.append((time.time() - t0) / iters)
     finite = bool(jax.numpy.all(jax.numpy.isfinite(state.xhat2)))
-    align = -1.0
-    if x0 is not None:
-        # sanity: after the timed VAMP steps the estimate must correlate
-        # with the known true signal (guards "fast but wrong" configs).
-        xh = np.asarray(state.xhat1[: x0.shape[0]], np.float64)
-        denom = np.linalg.norm(xh) * np.linalg.norm(x0)
-        align = float(np.dot(xh, np.asarray(x0, np.float64)) / denom) if denom else 0.0
     return samples, compile_s, finite, align
 
 
@@ -473,7 +492,8 @@ def child_main(mode):
     if mode == "solve":
         print(json.dumps(time_solve_child(block_size)))
         return
-    band, r, x0 = build_problem(M, bandwidth, N_SAMPLES, LAM, H2)
+    band, r, x0 = build_problem(M, bandwidth, N_SAMPLES, LAM, H2,
+                                K=int(os.environ.get("SGVAMP_BENCH_K", "1")))
     if mode == "step":
         samples, compile_s, finite, align = time_step_child(
             band, r, N_SAMPLES, LAM, H2, iters, cg_maxit, block_size, x0=x0)
@@ -495,8 +515,11 @@ def main():
 
     _stage("building problem")
     t0 = time.time()
-    band, r, x0 = build_problem(M, bandwidth, N, lam, h2)
+    band, r, x0 = build_problem(M, bandwidth, N, lam, h2,
+                                K=int(os.environ.get("SGVAMP_BENCH_K", "1")))
     gen_s = time.time() - t0
+    if r.ndim == 2:  # CPU baseline runs the first cohort's system
+        r = r[0]
 
     def remaining():
         return budget - (time.time() - t_start) - 45  # reserve for baseline
@@ -589,6 +612,12 @@ def main():
         "compile_s": round(compile_s, 1),
         "gen_s": round(gen_s, 1),
         "state_finite": finite,
+        # alignment vs the true signal after the REFERENCE's default
+        # iteration budget (iterations=10, src/main.py:37) - the
+        # operating point of this early-stopped algorithm. state_finite
+        # reports the state AFTER the additional timed steps (configs may
+        # legitimately overflow when iterated far past convergence; the
+        # reference's own f64 math does too).
         "align_vs_x0": _num(align),
         "step_timed": step_timed,
         # Production-mode time-to-tolerance: plain vs block-Jacobi

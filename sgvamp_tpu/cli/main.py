@@ -94,6 +94,24 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--rho-anneal-iters", help="Iterations over which rho anneals",
                    type=int, default=0)
     g.add_argument("--seed", help="PRNG seed for Hutchinson probes", type=int, default=0)
+    g.add_argument("--clip-alpha1", default=0,
+                   help="Clip alpha1 into [1e-5, 1-1e-5] (1/0). The clip the "
+                   "reference INTENDED but discarded (its np.clip result is "
+                   "unused, sgvamp.py:293); off by default for parity")
+    g.add_argument("--clip-alpha2", default=0,
+                   help="Clip alpha2 into [1e-5, 1-1e-5] (1/0). alpha2 is "
+                   "provably in (0,1) for an SPD operator, so this only "
+                   "removes Hutchinson/CG estimator noise; keeps gam1 "
+                   "positive on near-noiseless panels where the unguarded "
+                   "recursion (reference sgvamp.py:347) goes negative and "
+                   "NaNs. Off by default for parity")
+    g.add_argument("--gam-clamp", type=float, default=0.0,
+                   help="Clamp gam1/gam2 into [1/x, x] (the standard VAMP "
+                   "gamma_min/gamma_max guard; try 1e8). Extends the "
+                   "finite horizon when iterating past convergence, where "
+                   "the unguarded precision recursion grows geometrically "
+                   "and overflows (the reference diverges the same way); "
+                   "combine with early stopping. 0 = off (parity)")
     g.add_argument("--fused", help="Run all iterations as one fused scan (1/0, no per-iteration output files)",
                    default=0)
     g.add_argument("--checkpoint-dir", help="Directory for checkpoint/resume state", default=None)
@@ -419,6 +437,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         rho_anneal_iters=args.rho_anneal_iters,
         cg_precond_block=args.cg_precond_block,
         cg_precond_dtype=args.cg_precond_dtype,
+        clip_alpha1=bool(int(args.clip_alpha1)),
+        clip_alpha2=bool(int(args.clip_alpha2)),
+        gam_clamp=args.gam_clamp,
     )
     pc = PriorConfig(vars_=tuple(prior_vars), probs=tuple(prior_probs))
     prior = PriorState.create(pc.init_lam(), pc.init_omegas(), pc.scaled_sigmas(Nt))

@@ -91,6 +91,33 @@ class VampConfig:
     # (reference sgvamp.py:293 discards np.clip's result - a no-op bug; see
     # SURVEY.md quirks ledger #1). Default False replicates the reference.
     clip_alpha1: bool = False
+    # When True, clip alpha2 into [1e-5, 1-1e-5] after damping. For an SPD
+    # operator, alpha2 = gam2*tr(A^-1)/M with A = gamw*R + gam2*I satisfies
+    # 0 < alpha2 < 1 *identically* (each eigenvalue term gam2/(gamw*l+gam2)
+    # is in (0,1)), so any excursion outside is Hutchinson/CG/rounding
+    # estimator noise; clipping projects the estimate back into its
+    # provably-feasible region. Without it the recursion gam1 =
+    # gam2*(1-alpha2)/alpha2 goes NEGATIVE once gam2 grows so large that
+    # (1-alpha2) ~ gamw*mean_eig/gam2 sinks below the estimator noise floor
+    # - which the reference hits too (its f64 scipy path NaNs the same way
+    # on near-noiseless panels; it has no guard, sgvamp.py:340-347).
+    # Default False replicates the reference.
+    clip_alpha2: bool = False
+    # > 0 clamps the extrinsic precisions gam1/gam2 into
+    # [1/gam_clamp, gam_clamp] (the standard VAMP gamma_min/gamma_max
+    # guard, e.g. Rangan et al. 2019). Once the iteration converges past
+    # the data's information content, gam2 = gam1*(1-alpha1)/alpha1 grows
+    # geometrically (x1e5/iteration at the alpha1 clip) and overflows
+    # f32 within ~7 iterations - alpha clips alone only delay that.
+    # NOTE: the clamp (with both alpha clips) extends the finite horizon
+    # (measured: non-finite at it=14 vs it=10 on a degenerate
+    # replicated-cohort panel) but does NOT make post-convergence
+    # iterates meaningful - the r1/r2 recursion still amplifies through
+    # the clipped (1-alpha) divisors. gVAMP is an early-stopped
+    # algorithm; the engine's non-finite abort preserves outputs either
+    # way. 0.0 (default) replicates the reference (no guard,
+    # sgvamp.py:305,347).
+    gam_clamp: float = 0.0
 
     def __post_init__(self) -> None:
         if self.prior_update not in (None, "em", "mle"):

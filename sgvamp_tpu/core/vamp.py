@@ -198,6 +198,9 @@ def vamp_step(
 
     # ---- LMMSE (reference :298-323) ----
     gam2 = gam1s * (1 - alpha1) / alpha1
+    if cfg.gam_clamp > 0:
+        # standard VAMP gamma_min/gamma_max guard (VampConfig.gam_clamp)
+        gam2 = jnp.clip(gam2, 1.0 / cfg.gam_clamp, cfg.gam_clamp)
     r2 = (xhat1[None, :] - alpha1[:, None] * r1s) / (1 - alpha1)[:, None]
     gamw = state.gamw
     mu2 = gamw[:, None] * inputs.r + gam2[:, None] * r2
@@ -252,9 +255,18 @@ def vamp_step(
     alpha2 = gam2 * tr_sigma2 / M_active
     if cfg.lmmse_damp:
         alpha2 = rho * alpha2 + (1 - rho) * state.alpha2
+    if cfg.clip_alpha2:
+        # Project the Hutchinson estimate back into alpha2's provably-
+        # feasible region (0, 1) - see VampConfig.clip_alpha2. Keeps
+        # gam1_new positive when gam2 is so large that (1 - alpha2) sinks
+        # below the estimator noise floor (the failure mode that NaNs both
+        # this engine and the reference on near-noiseless panels).
+        alpha2 = jnp.clip(alpha2, 1e-5, 1 - 1e-5)
 
     # ---- Precision recursions (reference :347-348) ----
     gam1_new = gam2 * (1 - alpha2) / alpha2
+    if cfg.gam_clamp > 0:
+        gam1_new = jnp.clip(gam1_new, 1.0 / cfg.gam_clamp, cfg.gam_clamp)
     r1_new = (xhat2 - alpha2[:, None] * r2) / (1 - alpha2)[:, None]
 
     # ---- Noise precision learning (reference :350-374) ----

@@ -164,6 +164,31 @@ def test_cli_ld_dtype_int4(sim_dir, tmp_path):
     assert abs(aligns["int4"] - aligns["f32"]) < 0.05
 
 
+def test_cli_stability_guards(sim_dir, tmp_path):
+    """--clip-alpha1/--clip-alpha2/--gam-clamp (opt-in stability guards the
+    reference lacks) must not perturb a well-behaved run's trajectory:
+    inside the operating regime alpha1/alpha2 are already in (1e-5, 1-1e-5)
+    and the precisions are far from the clamp, so the guarded run matches
+    the unguarded one."""
+    aligns = {}
+    for name, extra in [("plain", []),
+                        ("guarded", ["--clip-alpha1", "1", "--clip-alpha2",
+                                     "1", "--gam-clamp", "1e8"])]:
+        out = tmp_path / name
+        rc = cli_main.main([
+            "--ld-files", str(sim_dir / "sim_R.npy"),
+            "--r-files", str(sim_dir / "sim_r.npy"),
+            "--true-signal-file", str(sim_dir / "sim_bet.npy"),
+            "--out-dir", str(out), "--out-name", "t",
+            "--N", "1500", "--M", "200", "--iterations", "5",
+            "--s", "0.1", "--platform", "cpu", "--x64", "1", "--seed", "7",
+        ] + extra)
+        assert rc == 0
+        aligns[name] = float(_read_csv(out / "t_metrics.csv")[-1][1])
+    assert aligns["guarded"] == pytest.approx(aligns["plain"], abs=1e-12)
+    assert aligns["guarded"] > 0.9
+
+
 def test_cli_int4_requires_sym():
     with pytest.raises(SystemExit, match="int4 requires"):
         cli_main.main([
