@@ -222,18 +222,24 @@ def time_step_child(band, r, N, lam, h2, iters, cg_maxit, block_size, x0=None,
 
     # Quality gate at the REFERENCE's default iteration budget
     # (iterations=10, reference src/main.py:37): run 9 more steps (one is
-    # the compile warmup above) and record alignment vs the true signal.
-    # gVAMP is an early-stopped algorithm - iterated far past convergence
-    # the unguarded precision recursion eventually overflows (the
-    # reference's own f64/scipy math does the same; see VampConfig.
-    # clip_alpha2) - so the gate must sit at the operating point, not
-    # after however many steps the timing blocks happen to run.
-    align = -1.0
+    # the compile warmup above) and record alignment vs the true signal -
+    # both at it=10 and the best over the trajectory (the reference's own
+    # workflow writes per-iteration metrics CSVs and selects post-hoc,
+    # src/sgvamp.py:379-387, scripts/plots.py). gVAMP is an early-stopped
+    # algorithm - iterated far past convergence the unguarded precision
+    # recursion eventually overflows (the reference's own f64/scipy math
+    # does the same; see VampConfig.clip_alpha2) - so the gate must sit
+    # at the operating point, not after however many steps the timing
+    # blocks happen to run.
+    align, align_best, align_best_it = -1.0, -1.0, -1
     if x0 is not None:
         _stage("quality gate: 10 reference-default iterations")
-        for _ in range(9):
+        align_best, align_best_it = _align(state), 1
+        for gate_it in range(2, 11):
             state, aux = step(state, inputs)
-        _ = float(aux.gamw[0])
+            a = _align(state)
+            if np.isfinite(a) and a > align_best:
+                align_best, align_best_it = a, gate_it
         align = _align(state)
 
     _stage(f"timing {repeats} blocks x {iters} steps")
@@ -245,7 +251,7 @@ def time_step_child(band, r, N, lam, h2, iters, cg_maxit, block_size, x0=None,
         _ = float(aux.gamw[0])  # chain dependency forces all iters
         samples.append((time.time() - t0) / iters)
     finite = bool(jax.numpy.all(jax.numpy.isfinite(state.xhat2)))
-    return samples, compile_s, finite, align
+    return samples, compile_s, finite, align, align_best, align_best_it
 
 
 def time_solve_child(block_size):
@@ -495,10 +501,12 @@ def child_main(mode):
     band, r, x0 = build_problem(M, bandwidth, N_SAMPLES, LAM, H2,
                                 K=int(os.environ.get("SGVAMP_BENCH_K", "1")))
     if mode == "step":
-        samples, compile_s, finite, align = time_step_child(
-            band, r, N_SAMPLES, LAM, H2, iters, cg_maxit, block_size, x0=x0)
+        samples, compile_s, finite, align, a_best, a_best_it = \
+            time_step_child(
+                band, r, N_SAMPLES, LAM, H2, iters, cg_maxit, block_size, x0=x0)
         print(json.dumps({"iter_s_samples": samples, "compile_s": compile_s,
-                          "finite": finite, "align": align}))
+                          "finite": finite, "align": align,
+                          "align_best": a_best, "align_best_it": a_best_it}))
     else:
         matvec_s, memread_s, bpp, ceiling = time_matvec_child(
             band, r, N_SAMPLES, LAM, H2, cg_maxit, block_size)
@@ -534,6 +542,8 @@ def main():
     matvec_s = mv["matvec_s"] if mv else float("nan")
     ceiling_gbps = mv.get("ceiling_gbps", float("nan")) if mv else float("nan")
     align = got.get("align", -1.0) if got else -1.0
+    align_best = got.get("align_best", -1.0) if got else -1.0
+    align_best_it = got.get("align_best_it", -1) if got else -1
     if got is not None:
         samples = got["iter_s_samples"]
         iter_s = float(np.median(samples))
@@ -619,6 +629,11 @@ def main():
         # legitimately overflow when iterated far past convergence; the
         # reference's own f64 math does too).
         "align_vs_x0": _num(align),
+        # best alignment over the 10 gate iterations and where it peaked
+        # (the reference selects per-iteration results post-hoc from its
+        # metrics CSV; configs that destabilize late still peak early)
+        "align_best_vs_x0": _num(align_best),
+        "align_best_it": int(align_best_it),
         "step_timed": step_timed,
         # Production-mode time-to-tolerance: plain vs block-Jacobi
         # preconditioned CG on a realistically ill-conditioned panel.
