@@ -149,8 +149,6 @@ def time_matvec_child(band, r, N, lam, h2, cg_maxit, block_size):
     VPU-bound jnp reduction the round-2 bench used (which reported a
     "ceiling" 2.35x BELOW the achieved rate).
     """
-    import functools
-
     import jax
     import jax.numpy as jnp
 
@@ -161,9 +159,13 @@ def time_matvec_child(band, r, N, lam, h2, cg_maxit, block_size):
     # only reliable barrier, so every timing below ends in one.
     x = inputs.r.repeat(2, axis=0)
 
-    @functools.partial(jax.jit, static_argnames="n")
+    @jax.jit
     def chain(i, v, n):
-        # 0.02 damping keeps the iterate finite over n unnormalized passes
+        # 0.02 damping keeps the iterate finite over n unnormalized passes.
+        # n is a TRACED trip count so the n-pass and 2n-pass chains share
+        # ONE compiled program - the remote compile service's latency
+        # (minutes per program on a bad day) made the two-static-programs
+        # version blow its child budget routinely.
         return jax.lax.fori_loop(0, n, lambda _, v: i.op.matvec(v) * 0.02, v)
 
     def timed(n, reps=4):
@@ -510,15 +512,39 @@ def child_main(mode):
     else:
         matvec_s, memread_s, bpp, ceiling = time_matvec_child(
             band, r, N_SAMPLES, LAM, H2, cg_maxit, block_size)
-        print(json.dumps({"matvec_s": matvec_s, "memread_s": memread_s,
-                          "bytes_per_pass": bpp,
-                          "ceiling_gbps": ceiling}))
+        result = {"matvec_s": matvec_s, "memread_s": memread_s,
+                  "bytes_per_pass": bpp, "ceiling_gbps": ceiling}
+        try:  # persist: the child's setup (268MB+ over the remote tunnel)
+            with open(_matvec_cache_path(), "w") as f:  # often exceeds the
+                json.dump(result, f)                    # default budget
+        except OSError:
+            pass
+        print(json.dumps(result))
+
+
+def _matvec_cache_path():
+    """Per-config cache of the matvec/roofline child's measurement. The
+    child's setup cost is dominated by the LD-block device transfer over
+    the remote tunnel (~5 min for 268 MB at M=512k) and routinely exceeds
+    the 240 s sub-budget; a same-config measurement from an earlier run on
+    the same chip is far better roofline evidence than nothing. Results
+    served from this cache are flagged matvec_cached=true."""
+    M, bandwidth, block_size, cg_maxit, _ = _params()
+    ld_dtype = os.environ.get("SGVAMP_BENCH_LD_DTYPE", _DEFAULT_LD_DTYPE)
+    K = int(os.environ.get("SGVAMP_BENCH_K", "1"))
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f".bench_matvec_M{M}_bw{bandwidth}_B{block_size}_{ld_dtype}_K{K}.json")
 
 
 def main():
     M, bandwidth, block_size, cg_maxit, iters = _params()
     N, lam, h2 = N_SAMPLES, LAM, H2
-    budget = float(os.environ.get("SGVAMP_BENCH_BUDGET_S", "480"))
+    # 900 s default: the children's setup is dominated by the LD-block
+    # device transfer over the remote tunnel, which has been measured
+    # anywhere from ~30 s to ~5 min for the same 268 MB depending on host
+    # load; 480 s starved both children on a bad day.
+    budget = float(os.environ.get("SGVAMP_BENCH_BUDGET_S", "900"))
     t_start = time.time()
 
     _stage("building problem")
@@ -532,10 +558,20 @@ def main():
     def remaining():
         return budget - (time.time() - t_start) - 45  # reserve for baseline
 
-    # matvec child first (its compile is the cheap one) so the estimate
-    # fallback is available even when the step compile exceeds the budget.
+    # step child FIRST: it is the headline number and must never be
+    # starved by the roofline probe; the matvec estimate fallback is
+    # normally available from the same-config cache anyway.
+    got = run_child("step", min(600.0, remaining())) if remaining() > 120 else None
     mv = run_child("matvec", min(240.0, remaining())) if remaining() > 90 else None
-    got = run_child("step", remaining()) if remaining() > 120 else None
+    matvec_cached = False
+    if mv is None and os.path.exists(_matvec_cache_path()):
+        try:
+            with open(_matvec_cache_path()) as f:
+                mv = json.load(f)
+            matvec_cached = True
+            _stage("matvec numbers served from same-config cache")
+        except (OSError, ValueError):
+            mv = None
     solve = (run_child("solve", remaining())
              if remaining() > 90
              and os.environ.get("SGVAMP_BENCH_SOLVE", "1") == "1" else None)
@@ -615,6 +651,10 @@ def main():
         # (shared, tunneled) chip can actually move today. By construction
         # ceiling >= any achievable matvec rate.
         "hbm_read_ceiling_GBps": _num(ceiling_gbps, 1),
+        # True when the matvec/ceiling numbers came from a same-config
+        # earlier run on this chip (the live child's tunnel transfer
+        # exceeded its budget; see _matvec_cache_path)
+        "matvec_cached": matvec_cached,
         "hbm_spec_GBps": HBM_SPEC_GBPS,
         "roofline_frac_vs_spec": _num(matvec_gbps / HBM_SPEC_GBPS, 3),
         "roofline_frac_vs_ceiling": _num(matvec_gbps / ceiling_gbps, 3)

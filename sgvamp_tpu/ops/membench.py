@@ -92,13 +92,15 @@ def read_max(u: Array, interpret: bool = False) -> Array:
 def _prep(u: Array, chunk_bytes: int = 4 << 20):
     """Flatten + truncate to a whole number of equal chunks that divide the
     array; returns (flat array, chunk_elems). Byte-sized dtypes (int8
-    quantized LD blocks) are bitcast to bfloat16 — same bytes, same DMA —
-    because mosaic has no int8 reductions."""
+    quantized LD blocks) are replaced by a bfloat16 array of the SAME byte
+    count - mosaic has no int8 reductions, and a bitcast via reshape(-1, 2)
+    puts the pair axis minormost, which TPU tiling pads 64x (measured:
+    16 GB HLO temp for a 256 MB int8 array - instant OOM). A read-rate
+    ceiling depends only on bytes streamed, not values."""
     flat = u.reshape(-1)
     if flat.dtype.itemsize == 1:
-        n2 = flat.size // 2 * 2
-        flat = jax.lax.bitcast_convert_type(
-            flat[:n2].reshape(-1, 2), jnp.bfloat16).reshape(-1)
+        half = flat.size // 2
+        flat = (jax.lax.iota(jnp.int32, half) % 251).astype(jnp.bfloat16)
     itemsize = flat.dtype.itemsize
     chunk_elems = max(_LANES, (chunk_bytes // itemsize) // _LANES * _LANES)
     n_chunks = flat.size // chunk_elems

@@ -35,9 +35,11 @@ def test_read_max_bf16():
 
 
 def test_read_max_int8_bitcast():
-    """int8 arrays (quantized LD blocks) are probed via a bf16 bitcast -
-    mosaic has no int8 reductions; the probe must still run and touch the
-    same bytes (half the element count at twice the width)."""
+    """int8 arrays (quantized LD blocks) are probed via an equal-BYTE bf16
+    substitute - mosaic has no int8 reductions, and a bitcast via
+    reshape(-1, 2) puts the pair axis minormost, which TPU tiling pads 64x
+    (measured 16 GB HLO temp for a 256 MB array). A read ceiling depends
+    only on bytes streamed."""
     rng = np.random.default_rng(3)
     u = jnp.asarray(rng.integers(-127, 128, size=(1 << 20,)).astype(np.int8))
     got = np.asarray(read_max(u, interpret=True))

@@ -42,14 +42,14 @@ def build(M, bandwidth, seed=0):
 
 
 def time_passes(op, x, n):
-    import functools
-
     import jax
 
     # op rides as a jit ARGUMENT (it is a pytree), never a closure capture:
     # captured arrays are embedded in the serialized module and the remote
-    # compile service rejects >512MB requests (HTTP 413).
-    @functools.partial(jax.jit, static_argnames="k")
+    # compile service rejects >512MB requests (HTTP 413). k is a TRACED
+    # trip count so the n-pass and 2n-pass chains share one compiled
+    # program (the compile service can take minutes per program).
+    @jax.jit
     def chain(o, v, k):
         # 0.02 damping keeps the iterate finite over k unnormalized passes
         return jax.lax.fori_loop(
