@@ -540,11 +540,12 @@ def _matvec_cache_path():
 def main():
     M, bandwidth, block_size, cg_maxit, iters = _params()
     N, lam, h2 = N_SAMPLES, LAM, H2
-    # 900 s default: the children's setup is dominated by the LD-block
-    # device transfer over the remote tunnel, which has been measured
-    # anywhere from ~30 s to ~5 min for the same 268 MB depending on host
-    # load; 480 s starved both children on a bad day.
-    budget = float(os.environ.get("SGVAMP_BENCH_BUDGET_S", "900"))
+    # 1500 s default: the children's setup is dominated by the LD-block
+    # device transfer over the remote tunnel plus the remote compile
+    # service, together measured anywhere from ~1 to ~12 minutes for the
+    # same 268 MB + cached program depending on host load; 480 s starved
+    # every child on a bad day and even 600 s starved the step child once.
+    budget = float(os.environ.get("SGVAMP_BENCH_BUDGET_S", "1500"))
     t_start = time.time()
 
     _stage("building problem")
@@ -561,7 +562,7 @@ def main():
     # step child FIRST: it is the headline number and must never be
     # starved by the roofline probe; the matvec estimate fallback is
     # normally available from the same-config cache anyway.
-    got = run_child("step", min(600.0, remaining())) if remaining() > 120 else None
+    got = run_child("step", min(1000.0, remaining())) if remaining() > 120 else None
     mv = run_child("matvec", min(240.0, remaining())) if remaining() > 90 else None
     matvec_cached = False
     if mv is None and os.path.exists(_matvec_cache_path()):
