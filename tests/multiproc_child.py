@@ -42,21 +42,28 @@ def run_parity(op_name: str, mesh, nproc: int, fetched_sizes) -> None:
     N = 20000
     band, r, _ = simulate_ld_band(N, M, 64, h2=0.7, lam=0.05, rng=rng,
                                   dtype=np.float64)
-    if op_name == "sym":
-        op = SymBandedLD.from_band(band, block_size=B, K=K)
+    # sym_int8: the quantized streamed kernel (per-block scales leaf) over
+    # the same cross-process shard_map - f32 compute, parity at f32 level.
+    quant = op_name == "sym_int8"
+    if op_name.startswith("sym"):
+        op = SymBandedLD.from_band(band, block_size=B, K=K,
+                                   dtype="int8" if quant else None)
     else:
         op = BandedLD.from_band(band, block_size=B, K=K)
     rs = np.tile(r[None], (K, 1)) * (1.0 + 0.01 * np.arange(K)[:, None])
-    cfg = VampConfig(prior_update="em", dtype="float64", cg_maxit=200,
-                     cg_rtol=1e-10, rho=0.5, lmmse_damp=True)
+    dt = jnp.float32 if quant else jnp.float64
+    cfg = VampConfig(prior_update="em", dtype="float32" if quant else "float64",
+                     cg_maxit=100 if quant else 200,
+                     cg_rtol=1e-5 if quant else 1e-10, rho=0.5,
+                     lmmse_damp=True)
     Nt = float(K * N)
     cm = max(int(M * 0.05), 1)
     prior = PriorState.create(0.05, [1.0], [0.7 / cm * Nt])
     inputs = VampInputs(
         op=op,
-        r=jnp.asarray(rs),
-        a=jnp.full((K,), 1.0 / K),
-        N=jnp.full((K,), float(N)),
+        r=jnp.asarray(rs, dt),
+        a=jnp.full((K,), 1.0 / K, dt),
+        N=jnp.full((K,), float(N), dt),
     )
     u_seq = (np.random.default_rng(99).integers(0, 2, size=(iters, K, M)) * 2
              - 1).astype(np.float64)
@@ -71,14 +78,15 @@ def run_parity(op_name: str, mesh, nproc: int, fetched_sizes) -> None:
     local_engine = VampEngine(inputs, cfg, prior, gamw=5.0, gam1=1e-6)
     hist_l = local_engine.run(iters, fixed_u=u_seq)
 
+    tol, ptol = (2e-4, 1e-3) if quant else (1e-9, 1e-8)
     for it in range(iters):
         a = np.asarray(hist_s["xhat1"][it])
         b = np.asarray(hist_l["xhat1"][it])
         err = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-30)
-        assert err < 1e-9, f"[{op_name}] xhat1 parity failed at it={it}: {err:.3e}"
+        assert err < tol, f"[{op_name}] xhat1 parity failed at it={it}: {err:.3e}"
         np.testing.assert_allclose(
             np.asarray(hist_s["params"][it], np.float64),
-            np.asarray(hist_l["params"][it], np.float64), rtol=1e-8)
+            np.asarray(hist_l["params"][it], np.float64), rtol=ptol)
 
     # Writer-less runs must not all-gather any (K, M) aux leaf across
     # processes: the largest fetched array is xhat1 of size M.
@@ -120,7 +128,7 @@ def main() -> int:
 
     mh.fetch_global = spy_fetch
 
-    for op_name in ("banded", "sym"):
+    for op_name in ("banded", "sym", "sym_int8"):
         run_parity(op_name, mesh, nproc, fetched_sizes)
         print(f"PARITY OK operator={op_name} process={pid}", flush=True)
     return 0

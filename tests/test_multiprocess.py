@@ -53,10 +53,12 @@ def test_two_process_mesh_parity():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, (
             f"process {pid} failed (rc={p.returncode}):\n{out[-4000:]}")
-        # both the einsum operator AND the flagship sym pallas shard_map
-        # kernel (halo/spill ppermutes over gloo) must pass parity
+        # the einsum operator, the flagship sym pallas shard_map kernel
+        # (halo/spill ppermutes over gloo), AND its int8-quantized flavor
+        # (per-block scales leaf sharded across processes) must all pass
         assert f"PARITY OK operator=banded process={pid}" in out
         assert f"PARITY OK operator=sym process={pid}" in out
+        assert f"PARITY OK operator=sym_int8 process={pid}" in out
 
 
 def test_multihost_init_noop_without_config(monkeypatch):
