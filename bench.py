@@ -506,9 +506,15 @@ def child_main(mode):
         samples, compile_s, finite, align, a_best, a_best_it = \
             time_step_child(
                 band, r, N_SAMPLES, LAM, H2, iters, cg_maxit, block_size, x0=x0)
-        print(json.dumps({"iter_s_samples": samples, "compile_s": compile_s,
-                          "finite": finite, "align": align,
-                          "align_best": a_best, "align_best_it": a_best_it}))
+        result = {"iter_s_samples": samples, "compile_s": compile_s,
+                  "finite": finite, "align": align,
+                  "align_best": a_best, "align_best_it": a_best_it}
+        try:
+            with open(_child_cache_path("step"), "w") as f:
+                json.dump(result, f)
+        except OSError:
+            pass
+        print(json.dumps(result))
     else:
         matvec_s, memread_s, bpp, ceiling = time_matvec_child(
             band, r, N_SAMPLES, LAM, H2, cg_maxit, block_size)
@@ -522,19 +528,25 @@ def child_main(mode):
         print(json.dumps(result))
 
 
-def _matvec_cache_path():
-    """Per-config cache of the matvec/roofline child's measurement. The
-    child's setup cost is dominated by the LD-block device transfer over
-    the remote tunnel (~5 min for 268 MB at M=512k) and routinely exceeds
-    the 240 s sub-budget; a same-config measurement from an earlier run on
-    the same chip is far better roofline evidence than nothing. Results
-    served from this cache are flagged matvec_cached=true."""
+def _child_cache_path(mode):
+    """Per-config cache of a timing child's measurement (mode: 'matvec' or
+    'step'). Child setup is dominated by the LD-block device transfer over
+    the remote tunnel plus the remote compile service - together measured
+    anywhere from ~1 to ~12+ minutes for the same config depending on host
+    load - so children routinely blow their budgets on bad days. A
+    same-config measurement from an earlier run on the same chip is far
+    better evidence than an analytic estimate; results served from cache
+    are flagged (matvec_cached / step_cached)."""
     M, bandwidth, block_size, cg_maxit, _ = _params()
     ld_dtype = os.environ.get("SGVAMP_BENCH_LD_DTYPE", _DEFAULT_LD_DTYPE)
     K = int(os.environ.get("SGVAMP_BENCH_K", "1"))
     return os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
-        f".bench_matvec_M{M}_bw{bandwidth}_B{block_size}_{ld_dtype}_K{K}.json")
+        f".bench_{mode}_M{M}_bw{bandwidth}_B{block_size}_{ld_dtype}_K{K}.json")
+
+
+def _matvec_cache_path():
+    return _child_cache_path("matvec")
 
 
 def main():
@@ -563,6 +575,15 @@ def main():
     # starved by the roofline probe; the matvec estimate fallback is
     # normally available from the same-config cache anyway.
     got = run_child("step", min(1000.0, remaining())) if remaining() > 120 else None
+    step_cached = False
+    if got is None and os.path.exists(_child_cache_path("step")):
+        try:
+            with open(_child_cache_path("step")) as f:
+                got = json.load(f)
+            step_cached = True
+            _stage("step numbers served from same-config cache")
+        except (OSError, ValueError):
+            got = None
     mv = run_child("matvec", min(240.0, remaining())) if remaining() > 90 else None
     matvec_cached = False
     if mv is None and os.path.exists(_matvec_cache_path()):
@@ -656,6 +677,7 @@ def main():
         # earlier run on this chip (the live child's tunnel transfer
         # exceeded its budget; see _matvec_cache_path)
         "matvec_cached": matvec_cached,
+        "step_cached": step_cached,
         "hbm_spec_GBps": HBM_SPEC_GBPS,
         "roofline_frac_vs_spec": _num(matvec_gbps / HBM_SPEC_GBPS, 3),
         "roofline_frac_vs_ceiling": _num(matvec_gbps / ceiling_gbps, 3)
