@@ -18,7 +18,8 @@ from sgvamp_tpu.core.cg import cg_batched
 from sgvamp_tpu.core.denoiser import combine_cohorts, posterior_mean_and_slope
 from sgvamp_tpu.core.operators import BandedLD, DenseLD
 from sgvamp_tpu.core.prior import PriorState, em_loop, em_update, mle_update
-from sgvamp_tpu.core.vamp import VampEngine, VampInputs, VampState, vamp_step
+from sgvamp_tpu.core.vamp import (StopMonitor, VampEngine, VampInputs,
+                                  VampState, vamp_step)
 
 __version__ = "0.1.0"
 
@@ -34,6 +35,7 @@ __all__ = [
     "em_update",
     "em_loop",
     "mle_update",
+    "StopMonitor",
     "VampEngine",
     "VampInputs",
     "VampState",

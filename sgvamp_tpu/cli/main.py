@@ -112,6 +112,23 @@ def build_parser() -> argparse.ArgumentParser:
                    "the unguarded precision recursion grows geometrically "
                    "and overflows (the reference diverges the same way); "
                    "combine with early stopping. 0 = off (parity)")
+    g.add_argument("--stop-tol", type=float, default=0.0,
+                   help="Early-stop when the relative change of xhat1 "
+                   "between iterations falls below this tolerance "
+                   "(converged). 0 = off (reference parity: fixed "
+                   "iteration count, post-hoc selection)")
+    g.add_argument("--stop-on-divergence", default=0,
+                   help="Early-stop when min-over-cohorts gam1 collapses "
+                   "below its running peak by --stop-gam1-drop, or goes "
+                   "non-finite (1/0). gVAMP destabilizes past its "
+                   "operating point (the reference's fixed-count run "
+                   "decays the same way and relies on post-hoc CSV "
+                   "selection); this stops at the operating point and "
+                   "reports the best iterate automatically. Off by "
+                   "default for parity")
+    g.add_argument("--stop-gam1-drop", type=float, default=10.0,
+                   help="Divergence factor for --stop-on-divergence: "
+                   "trigger when min_k gam1 < peak/this")
     g.add_argument("--fused", help="Run all iterations as one fused scan (1/0, no per-iteration output files)",
                    default=0)
     g.add_argument("--checkpoint-dir", help="Directory for checkpoint/resume state", default=None)
@@ -472,10 +489,27 @@ def main(argv: Optional[List[str]] = None) -> int:
         writer = OutputWriter(args.out_dir, args.out_name, K, append=start_it > 0)
 
     log.info("...Running sgVAMP\n")
+    stop_tol = float(args.stop_tol)
+    stop_drop = (float(args.stop_gam1_drop)
+                 if bool(int(args.stop_on_divergence)) else 0.0)
     ts = time.time()
     with device_trace(args.profile_dir), timers.phase("infer"):
         if bool(int(args.fused)):
+            from sgvamp_tpu.core.vamp import StopMonitor
             from sgvamp_tpu.parallel.multihost import fetch_global
+
+            monitor = StopMonitor(tol=stop_tol, gam1_drop=stop_drop)
+
+            def feed_monitor(aux, it0_chunk, n):
+                """Evaluate the stop criteria on a fused chunk's stacked
+                aux (host-side, between scans)."""
+                for i in range(n):
+                    reason = monitor.update(
+                        it0_chunk + i, np.asarray(aux.xhat1[i])[:M],
+                        np.asarray(aux.gam1[i]))
+                    if reason:
+                        return it0_chunk + i, reason
+                return None, None
 
             def run_chunk(n, st):
                 if st is None:
@@ -508,6 +542,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                             np.asarray(aux.xhat1[i])[:M] for i in range(n))
                     ckpt.save(st, it + n)
                     it += n
+                    stop_it, reason = feed_monitor(aux, it - n, n)
+                    if reason is not None:
+                        history["stopped_at"] = stop_it
+                        history["stop_reason"] = reason
+                        break
             else:
                 final_state, aux = run_chunk(iterations, None)
                 if writer is not None:
@@ -516,6 +555,15 @@ def main(argv: Optional[List[str]] = None) -> int:
                 else:
                     history = {"xhat1": [np.asarray(aux.xhat1[i])[:M]
                                          for i in range(iterations)]}
+                # one fused scan cannot stop mid-program; evaluate the
+                # criteria post-hoc so the run still reports where it
+                # should have stopped and which iterate is the deliverable
+                stop_it, reason = feed_monitor(aux, 0, iterations)
+                if reason is not None:
+                    history["stopped_at"] = stop_it
+                    history["stop_reason"] = reason
+            history["best_it"] = monitor.best_it
+            history["best_xhat1"] = monitor.best_xhat1
         else:
             cb = None
             if ckpt is not None:
@@ -523,10 +571,14 @@ def main(argv: Optional[List[str]] = None) -> int:
             history = engine.run(
                 iterations - start_it, state=state, writer=writer,
                 x0=x0, Nt=Nt, seed=args.seed, callback=cb, M_out=M,
-                it0=start_it,
+                it0=start_it, stop_tol=stop_tol, stop_gam1_drop=stop_drop,
             )
     log.info(f"sgVAMP inference running time: {time.time() - ts:0.4f}s\n")
     log.debug(timers.report())
+    if history.get("stopped_at") is not None:
+        log.info(f"Early stop at iteration {history['stopped_at']} "
+                 f"({history['stop_reason']}); best iterate: "
+                 f"iteration {history.get('best_it')}\n")
 
     # -- post-hoc metrics (reference src/main.py:326-338) --
     if x0 is not None and history.get("xhat1"):
@@ -538,6 +590,11 @@ def main(argv: Optional[List[str]] = None) -> int:
             l2s.append(float(np.linalg.norm(xh - x0v) / np.linalg.norm(x0v)))
         log.info(f"Alignment(x1hat, x0) over iterations: \n {aligns}\n")
         log.info(f"L2 error(x1hat, x0) over iterations: \n {l2s}\n")
+        bi = history.get("best_it", -1)
+        if bi is not None and 0 <= bi - start_it < len(aligns):
+            log.info(f"Selected iterate (gam1 peak): iteration {bi}, "
+                     f"alignment {aligns[bi - start_it]:0.6f}, "
+                     f"L2 {l2s[bi - start_it]:0.6f}\n")
     return 0
 
 

@@ -101,6 +101,72 @@ class StepAux(NamedTuple):
     mle_ok: Array       # bool: last MLE update accepted (True when unused)
 
 
+class StopMonitor:
+    """Truth-free convergence/divergence detection for the early-stopped
+    gVAMP iteration (host-side; a capability the reference lacks — it runs
+    a fixed iteration count, reference src/main.py:37, and the user picks
+    the best iterate post-hoc from the metrics CSV, src/main.py:326-338).
+
+    gVAMP iterated past the data's information content destabilizes: the
+    precision recursion grows geometrically, then collapses, and the
+    estimate decays (see VampConfig.gam_clamp notes; the reference's own
+    f64 math overflows the same way). Two criteria, both computable
+    without the true signal:
+
+      * ``converged`` — the relative change of xhat1 between iterations
+        falls below ``tol``: the iteration has settled.
+      * ``diverging`` — ``min_k gam1_k`` falls below its running peak by
+        more than a factor of ``gam1_drop`` (or goes non-finite). gam1 is
+        the algorithm's own estimate of how informative the extrinsic
+        means are; measured on both the benign and the degenerate bench
+        panels it peaks within an iteration of the alignment peak and
+        then collapses by orders of magnitude as the alignment decays, so
+        its collapse is the truth-free proxy for "past the operating
+        point".
+
+    The monitor always snapshots xhat1 at the running gam1 peak
+    (``best_xhat1`` / ``best_it``) so a stopped run can report the
+    selected iterate — the automated version of the reference's post-hoc
+    CSV selection. Criteria default off (0.0) for reference parity.
+    """
+
+    def __init__(self, tol: float = 0.0, gam1_drop: float = 0.0) -> None:
+        self.tol = float(tol)
+        self.gam1_drop = float(gam1_drop)
+        self.prev_xhat1: Optional[np.ndarray] = None
+        self.best_xhat1: Optional[np.ndarray] = None
+        self.best_it: int = -1
+        self.gam1_peak: float = -np.inf
+        self.stopped_at: int = -1
+        self.reason: Optional[str] = None
+
+    def update(self, it: int, xhat1: np.ndarray, gam1: np.ndarray) -> Optional[str]:
+        """Feed one iteration's (xhat1, gam1); returns a stop reason or None."""
+        xhat1 = np.asarray(xhat1)
+        g = float(np.min(np.asarray(gam1, np.float64)))
+        finite = np.isfinite(g) and bool(np.all(np.isfinite(xhat1)))
+        if finite and g >= self.gam1_peak:
+            self.gam1_peak = g
+            self.best_xhat1 = xhat1.copy()
+            self.best_it = it
+        reason = None
+        if not finite:
+            if self.gam1_drop > 0:
+                reason = "diverging"
+        elif (self.gam1_drop > 0 and self.best_it >= 0
+                and g < self.gam1_peak / self.gam1_drop):
+            reason = "diverging"
+        elif self.tol > 0 and self.prev_xhat1 is not None:
+            denom = float(np.linalg.norm(self.prev_xhat1))
+            rel = float(np.linalg.norm(xhat1 - self.prev_xhat1)) / (denom + 1e-300)
+            if rel < self.tol:
+                reason = "converged"
+        self.prev_xhat1 = xhat1
+        if reason is not None and self.reason is None:
+            self.stopped_at, self.reason = it, reason
+        return reason
+
+
 def init_state(inputs: VampInputs, cfg: VampConfig, prior: PriorState,
                gamw: float, gam1: float, seed: int = 0) -> VampState:
     """Initial state (reference src/sgvamp.py:198-217)."""
@@ -380,11 +446,20 @@ class VampEngine:
         it0: int = 0,
         abort_on_nonfinite: bool = True,
         fetch_aux_full: Optional[bool] = None,
+        stop_tol: float = 0.0,
+        stop_gam1_drop: float = 0.0,
     ) -> Dict[str, Any]:
         """Run `iterations` VAMP steps with per-iteration host I/O.
 
         fixed_u: optional (iterations, K, M) Rademacher probes (test hook).
         writer: an io.writers.OutputWriter (or None).
+        stop_tol / stop_gam1_drop: StopMonitor thresholds (0 = off, the
+            reference-parity default of a fixed iteration count). When a
+            criterion fires the loop stops early; history records
+            stopped_at/stop_reason, and best_it/best_xhat1 always carry
+            the monitor's selected iterate (the xhat1 at the running gam1
+            peak — the automated version of the reference's post-hoc
+            metrics-CSV selection).
         fetch_aux_full: under jax.distributed, whether to all-gather the
             (K, M) r1_in aux leaf to every host each iteration. Only a
             writer reads it, so the default (None) fetches it iff this
@@ -409,6 +484,7 @@ class VampEngine:
             "cg1_iters": [], "cg2_iters": [],
         }
         x0v = None if x0 is None else np.asarray(x0).squeeze()
+        monitor = StopMonitor(tol=stop_tol, gam1_drop=stop_gam1_drop)
         bpp = getattr(self.inputs.op, "bytes_per_pass", lambda: 0)()
         multiproc = jax.process_count() > 1
         fetch_full = (writer is not None if fetch_aux_full is None
@@ -452,14 +528,26 @@ class VampEngine:
             r1_in = (np.asarray(aux.r1_in)[:, :M_out]
                      if (fetch_full or not multiproc) else None)
             self._log_iteration(it, aux)
+            stop_reason = monitor.update(it, xhat1, np.asarray(aux.gam1))
             if abort_on_nonfinite and not (
                 np.all(np.isfinite(xhat1)) and np.all(np.isfinite(np.asarray(aux.gam1)))
             ):
-                logger.info(
-                    f"ERROR: non-finite state at iteration {it}; aborting run "
-                    f"(outputs up to iteration {it - 1} are on disk)"
-                )
-                history["aborted_at"] = it
+                if stop_reason is not None:
+                    # divergence detection turned the non-finite abort into
+                    # a clean stop: the monitor's best-so-far snapshot is
+                    # the deliverable.
+                    logger.info(
+                        f"STOP at iteration {it} ({stop_reason}); best "
+                        f"iterate: iteration {monitor.best_it}"
+                    )
+                    history["stopped_at"] = it
+                    history["stop_reason"] = stop_reason
+                else:
+                    logger.info(
+                        f"ERROR: non-finite state at iteration {it}; aborting run "
+                        f"(outputs up to iteration {it - 1} are on disk)"
+                    )
+                    history["aborted_at"] = it
                 break
             history["xhat1"].append(xhat1)
             history["cg1_iters"].append(np.asarray(aux.cg1_iters))
@@ -489,7 +577,17 @@ class VampEngine:
                     writer.write_metrics([it, alignment, l2])
             if callback is not None:
                 callback(it, state, aux)
+            if stop_reason is not None:
+                logger.info(
+                    f"STOP at iteration {it} ({stop_reason}); best iterate: "
+                    f"iteration {monitor.best_it}"
+                )
+                history["stopped_at"] = it
+                history["stop_reason"] = stop_reason
+                break
         history["state"] = state
+        history["best_it"] = monitor.best_it
+        history["best_xhat1"] = monitor.best_xhat1
         return history
 
     def _log_iteration(self, it: int, aux: StepAux) -> None:
