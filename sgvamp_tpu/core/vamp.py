@@ -461,11 +461,13 @@ class VampEngine:
             peak — the automated version of the reference's post-hoc
             metrics-CSV selection).
         fetch_aux_full: under jax.distributed, whether to all-gather the
-            (K, M) r1_in aux leaf to every host each iteration. Only a
-            writer reads it, so the default (None) fetches it iff this
-            process holds a writer — but the fetch is a COLLECTIVE, so
-            when only one process holds the writer (the CLI's layout)
-            every process must pass the same explicit value here.
+            (K, M) r1_in aux leaf to every host each iteration (only a
+            writer reads it). Default (None): the processes agree
+            collectively at run start — if ANY process holds a writer,
+            all fetch; otherwise none do — so the CLI's
+            writer-on-process-0 layout needs no plumbing. Explicit values
+            must match on every process; a conflict raises here instead
+            of deadlocking in iteration 0.
         x0: true signal for metrics (already scaled, reference src/main.py:276).
         Nt: total sample count, for the xhat/r1 output scaling by 1/sqrt(Nt)
             (reference src/sgvamp.py:281,283).
@@ -487,11 +489,40 @@ class VampEngine:
         monitor = StopMonitor(tol=stop_tol, gam1_drop=stop_gam1_drop)
         bpp = getattr(self.inputs.op, "bytes_per_pass", lambda: 0)()
         multiproc = jax.process_count() > 1
-        fetch_full = (writer is not None if fetch_aux_full is None
-                      else fetch_aux_full)
-        if writer is not None and not fetch_full:
-            raise ValueError("fetch_aux_full=False is incompatible with a "
-                             "writer (it needs the r1_in aux leaf)")
+        if multiproc:
+            # The r1_in fetch below is a COLLECTIVE: every process must
+            # agree on whether it happens or the program hangs. Agree once
+            # up front via a tiny allgather instead of trusting callers to
+            # plumb the same value everywhere: by default any process
+            # holding a writer opts the whole job in (the CLI's layout -
+            # writer on process 0 only - then Just Works); explicit values
+            # must match on every process and a conflict fails loudly here
+            # rather than deadlocking in iteration 0.
+            from jax.experimental import multihost_utils
+            code = -1 if fetch_aux_full is None else int(bool(fetch_aux_full))
+            flags = np.asarray(multihost_utils.process_allgather(
+                np.asarray([int(writer is not None), code], np.int32)))
+            any_writer = bool(flags[:, 0].any())
+            explicit = flags[:, 1]
+            vals = set(int(v) for v in explicit if v >= 0)
+            if vals:
+                if len(vals) > 1:
+                    raise ValueError(
+                        f"fetch_aux_full disagrees across processes "
+                        f"(per-process values {explicit.tolist()}; -1 = "
+                        f"unset): every process must pass the same value")
+                fetch_full = bool(vals.pop())
+            else:
+                fetch_full = any_writer
+            if any_writer and not fetch_full:
+                raise ValueError("fetch_aux_full=False is incompatible with "
+                                 "a writer (it needs the r1_in aux leaf)")
+        else:
+            fetch_full = (writer is not None if fetch_aux_full is None
+                          else bool(fetch_aux_full))
+            if writer is not None and not fetch_full:
+                raise ValueError("fetch_aux_full=False is incompatible with "
+                                 "a writer (it needs the r1_in aux leaf)")
         for rel_it in range(iterations):
             it = it0 + rel_it
             logger.info(f"\n -----ITERATION {it} -----")

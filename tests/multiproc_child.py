@@ -131,7 +131,60 @@ def main() -> int:
     for op_name in ("banded", "sym", "sym_int8"):
         run_parity(op_name, mesh, nproc, fetched_sizes)
         print(f"PARITY OK operator={op_name} process={pid}", flush=True)
+
+    run_fetch_agreement(mesh, nproc, pid, fetched_sizes)
+    print(f"FETCH-AGREEMENT OK process={pid}", flush=True)
     return 0
+
+
+def run_fetch_agreement(mesh, nproc: int, pid: int, fetched_sizes) -> None:
+    """The fetch_aux_full auto-agreement (core/vamp.py): a writer on
+    process 0 ONLY, with no explicit plumbing, must opt every process into
+    the full (K, M) aux fetch (collective - an un-agreed fetch would
+    deadlock); mismatched explicit values must fail loudly on every
+    process instead of hanging."""
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from sgvamp_tpu.config import VampConfig
+    from sgvamp_tpu.core.operators import BandedLD
+    from sgvamp_tpu.core.prior import PriorState
+    from sgvamp_tpu.core.vamp import VampEngine, VampInputs
+    from sgvamp_tpu.data.simulate import simulate_ld_band
+    from sgvamp_tpu.io.writers import OutputWriter
+
+    rng = np.random.default_rng(3)
+    K, M, N = nproc, 512, 20000
+    band, r, _ = simulate_ld_band(N, M, 32, h2=0.7, lam=0.05, rng=rng,
+                                  dtype=np.float64)
+    op = BandedLD.from_band(band, block_size=128, K=K)
+    inputs = VampInputs(op=op,
+                        r=jnp.asarray(np.tile(r[None], (K, 1))),
+                        a=jnp.full((K,), 1.0 / K),
+                        N=jnp.full((K,), float(N)))
+    cfg = VampConfig(prior_update="em", dtype="float64", cg_maxit=50)
+    prior = PriorState.create(0.05, [1.0], [0.7 / 25 * N * K])
+    engine = VampEngine(inputs, cfg, prior, mesh=mesh)
+
+    writer = None
+    if pid == 0:
+        writer = OutputWriter(tempfile.mkdtemp(), "agree", K)
+    engine.run(1, writer=writer, Nt=float(N * K))
+    # every process (writer-holding or not) must have fetched the (K, M)
+    # r1_in leaf - the writer's presence was agreed collectively
+    assert max(fetched_sizes) >= K * M, (
+        f"process {pid} skipped the full aux fetch despite process 0's "
+        f"writer (max fetched {max(fetched_sizes)})")
+    fetched_sizes.clear()
+
+    # conflicting explicit values: ValueError everywhere, no deadlock
+    try:
+        engine.run(1, fetch_aux_full=(pid == 0))
+    except ValueError as e:
+        assert "disagrees across processes" in str(e)
+    else:
+        raise AssertionError("mismatched fetch_aux_full did not raise")
 
 
 if __name__ == "__main__":
