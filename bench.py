@@ -153,6 +153,23 @@ def time_matvec_child(band, r, N, lam, h2, cg_maxit, block_size):
     import jax.numpy as jnp
 
     op, inputs, state, cfg = _setup_tpu(band, r, N, lam, h2, cg_maxit, block_size)
+    import functools
+
+    from sgvamp_tpu.ops.membench import measure_read_gbps
+
+    ub = op.upper if hasattr(op, "upper") else jax.tree_util.tree_leaves(op)[0]
+    probe = functools.partial(measure_read_gbps, ub, n=30,
+                              interpret=jax.default_backend() != "tpu")
+
+    # Roofline pair consistency: the DMA ceiling probe runs immediately
+    # BEFORE and AFTER the matvec chain timing and the larger reading is
+    # the ceiling - on a shared chip the two probes bracket whatever load
+    # the matvec saw, so ceiling >= matvec holds unless the chip quiesced
+    # exactly during the matvec window (round 3 ran the probes minutes
+    # apart and recorded matvec 2.8% ABOVE the ceiling).
+    _stage("measuring HBM read ceiling (pallas DMA probe, pre)")
+    ceil_pre, mr_pre = probe()
+
     _stage("timing matvec (chained, differenced)")
     # NOTE: on the experimental remote-tunnel backend, block_until_ready
     # can return before execution finishes; a concrete scalar fetch is the
@@ -184,25 +201,29 @@ def time_matvec_child(band, r, N, lam, h2, cg_maxit, block_size):
     t_n, t_2n = timed(reps), timed(2 * reps)
     matvec_s = max((t_2n - t_n) / reps, 1e-12)
 
-    _stage("measuring HBM read ceiling (pallas DMA probe)")
-    from sgvamp_tpu.ops.membench import measure_read_gbps
-
-    ub = op.upper if hasattr(op, "upper") else jax.tree_util.tree_leaves(op)[0]
-    ceiling_gbps, memread_s = measure_read_gbps(
-        ub, n=30, interpret=jax.default_backend() != "tpu")
+    _stage("measuring HBM read ceiling (pallas DMA probe, post)")
+    ceil_post, mr_post = probe()
+    ceiling_gbps = max(ceil_pre, ceil_post)
+    memread_s = min(mr_pre, mr_post)
     return matvec_s, memread_s, int(op.bytes_per_pass()), ceiling_gbps
 
 
 def time_step_child(band, r, N, lam, h2, iters, cg_maxit, block_size, x0=None,
                     repeats=4):
     """Full-step timing (run in a killable subprocess: the step's first
-    compile can take minutes on a busy compile service).
+    compile can take minutes on a busy compile service). Returns the step
+    result dict.
 
-    Timing structure: after one warmup step, `repeats` back-to-back blocks
-    of `iters` chained steps each (dispatches pipeline inside a block; the
-    concrete fetch at block end is the barrier). Per-iteration time is
-    sampled once per block; median/min across blocks guard the headline
-    against the shared chip's load variance.
+    Timing structure: the warmup step compiles the program and advances to
+    it=1; that state is SNAPSHOTTED and each of `repeats` timed blocks of
+    `iters` chained steps restarts from the snapshot (dispatches pipeline
+    inside a block; the concrete fetch at block end is the barrier). Every
+    block therefore does IDENTICAL work - same EM trip counts, same finite
+    state - so per-block samples are directly comparable and the final
+    state is finite by construction (rounds 2-3 chained the blocks off the
+    end of the quality gate, where configs iterated far past their
+    operating point could go non-finite and quietly shrink the
+    data-dependent EM work being timed).
     """
     import jax
 
@@ -216,44 +237,55 @@ def time_step_child(band, r, N, lam, h2, iters, cg_maxit, block_size, x0=None,
     state, aux = step(state, inputs)
     _ = float(aux.gamw[0])
     compile_s = time.time() - t0
+    state1 = state  # it=1 snapshot: timing blocks restart here
 
-    def _align(s):
-        xh = np.asarray(s.xhat1[: x0.shape[0]], np.float64)
+    def _align(xh):
+        xh = np.asarray(xh[: x0.shape[0]], np.float64)
         denom = np.linalg.norm(xh) * np.linalg.norm(x0)
-        return float(xh @ np.asarray(x0, np.float64) / denom) if denom else 0.0
+        a = float(xh @ np.asarray(x0, np.float64) / denom) if denom else 0.0
+        return a if np.isfinite(a) else -1.0
 
     # Quality gate at the REFERENCE's default iteration budget
     # (iterations=10, reference src/main.py:37): run 9 more steps (one is
     # the compile warmup above) and record alignment vs the true signal -
-    # both at it=10 and the best over the trajectory (the reference's own
-    # workflow writes per-iteration metrics CSVs and selects post-hoc,
-    # src/sgvamp.py:379-387, scripts/plots.py). gVAMP is an early-stopped
-    # algorithm - iterated far past convergence the unguarded precision
-    # recursion eventually overflows (the reference's own f64/scipy math
-    # does the same; see VampConfig.clip_alpha2) - so the gate must sit
-    # at the operating point, not after however many steps the timing
-    # blocks happen to run.
+    # at it=10, the best over the trajectory (the reference's post-hoc
+    # CSV selection, src/sgvamp.py:379-387), AND the iterate the engine's
+    # own truth-free StopMonitor selects (core/vamp.py): gVAMP is an
+    # early-stopped algorithm, and align_stop is what a production run
+    # with --stop-on-divergence actually delivers - the automated version
+    # of the post-hoc selection, reported without peeking at x0.
     align, align_best, align_best_it = -1.0, -1.0, -1
+    align_stop, stop_it, stop_reason = -1.0, -1, None
     if x0 is not None:
-        _stage("quality gate: 10 reference-default iterations")
-        align_best, align_best_it = _align(state), 1
+        _stage("quality gate: 10 reference-default iterations + StopMonitor")
+        mon = V.StopMonitor(tol=1e-4, gam1_drop=10.0)
+        mon.update(1, np.asarray(state.xhat1), np.asarray(aux.gam1))
+        align_best, align_best_it = _align(state.xhat1), 1
         for gate_it in range(2, 11):
             state, aux = step(state, inputs)
-            a = _align(state)
-            if np.isfinite(a) and a > align_best:
+            a = _align(state.xhat1)
+            if a > align_best:
                 align_best, align_best_it = a, gate_it
-        align = _align(state)
+            mon.update(gate_it, np.asarray(state.xhat1), np.asarray(aux.gam1))
+        align = _align(state.xhat1)
+        stop_it, stop_reason = mon.stopped_at, mon.reason
+        if mon.best_xhat1 is not None:
+            align_stop = _align(mon.best_xhat1)
 
-    _stage(f"timing {repeats} blocks x {iters} steps")
+    _stage(f"timing {repeats} blocks x {iters} steps (each from the it=1 snapshot)")
     samples = []
     for _ in range(repeats):
+        state = state1
         t0 = time.time()
         for _ in range(iters):
             state, aux = step(state, inputs)
         _ = float(aux.gamw[0])  # chain dependency forces all iters
         samples.append((time.time() - t0) / iters)
     finite = bool(jax.numpy.all(jax.numpy.isfinite(state.xhat2)))
-    return samples, compile_s, finite, align, align_best, align_best_it
+    return {"iter_s_samples": samples, "compile_s": compile_s,
+            "finite": finite, "align": align, "align_best": align_best,
+            "align_best_it": align_best_it, "align_stop": align_stop,
+            "stop_it": stop_it, "stop_reason": stop_reason}
 
 
 def time_solve_child(block_size):
@@ -498,17 +530,28 @@ def child_main(mode):
     _enable_compile_cache()
     M, bandwidth, block_size, cg_maxit, iters = _params()
     if mode == "solve":
-        print(json.dumps(time_solve_child(block_size)))
+        result = time_solve_child(block_size)
+        try:
+            with open(_child_cache_path("solve"), "w") as f:
+                json.dump(result, f)
+        except OSError:
+            pass
+        print(json.dumps(result))
         return
     band, r, x0 = build_problem(M, bandwidth, N_SAMPLES, LAM, H2,
                                 K=int(os.environ.get("SGVAMP_BENCH_K", "1")))
     if mode == "step":
-        samples, compile_s, finite, align, a_best, a_best_it = \
-            time_step_child(
-                band, r, N_SAMPLES, LAM, H2, iters, cg_maxit, block_size, x0=x0)
-        result = {"iter_s_samples": samples, "compile_s": compile_s,
-                  "finite": finite, "align": align,
-                  "align_best": a_best, "align_best_it": a_best_it}
+        result = time_step_child(
+            band, r, N_SAMPLES, LAM, H2, iters, cg_maxit, block_size, x0=x0)
+        # evidence for the compile_s column: how many programs the
+        # persistent XLA cache held when this child compiled (a warm cache
+        # turns the minutes-long remote compile into seconds)
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".jax_cache")
+        try:
+            result["xla_cache_entries"] = len(os.listdir(cache_dir))
+        except OSError:
+            result["xla_cache_entries"] = 0
         try:
             with open(_child_cache_path("step"), "w") as f:
                 json.dump(result, f)
@@ -528,21 +571,52 @@ def child_main(mode):
         print(json.dumps(result))
 
 
+def _kernel_fingerprint():
+    """Short hash of the compute-path sources. Folded into every child
+    cache filename so a measurement taken with older kernel code is never
+    served as a current number (and so the cache keys on EVERY knob that
+    changes the timed program, not just shapes)."""
+    import hashlib
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.md5()
+    for rel in ("sgvamp_tpu/ops/band_kernel.py", "sgvamp_tpu/core/cg.py",
+                "sgvamp_tpu/core/vamp.py", "sgvamp_tpu/core/operators.py",
+                "sgvamp_tpu/core/precond.py"):
+        try:
+            with open(os.path.join(root, rel), "rb") as f:
+                h.update(f.read())
+        except OSError:
+            h.update(rel.encode())
+    return h.hexdigest()[:8]
+
+
 def _child_cache_path(mode):
-    """Per-config cache of a timing child's measurement (mode: 'matvec' or
-    'step'). Child setup is dominated by the LD-block device transfer over
-    the remote tunnel plus the remote compile service - together measured
-    anywhere from ~1 to ~12+ minutes for the same config depending on host
-    load - so children routinely blow their budgets on bad days. A
-    same-config measurement from an earlier run on the same chip is far
-    better evidence than an analytic estimate; results served from cache
-    are flagged (matvec_cached / step_cached)."""
+    """Per-config cache of a timing child's measurement (mode: 'matvec',
+    'step' or 'solve'). Child setup is dominated by the LD-block device
+    transfer over the remote tunnel plus the remote compile service -
+    together measured anywhere from ~1 to ~12+ minutes for the same config
+    depending on host load - so children routinely blow their budgets on
+    bad days. A same-config measurement from an earlier run on the same
+    chip is far better evidence than an analytic estimate; results served
+    from cache are flagged ({mode}_cached). The key includes every A/B env
+    knob (operator/mode/layout/dtype/precond) plus a kernel-source hash,
+    so a cached number always matches the config AND code being reported."""
     M, bandwidth, block_size, cg_maxit, _ = _params()
     ld_dtype = os.environ.get("SGVAMP_BENCH_LD_DTYPE", _DEFAULT_LD_DTYPE)
     K = int(os.environ.get("SGVAMP_BENCH_K", "1"))
+    op = os.environ.get("SGVAMP_BENCH_OPERATOR", "sym")
+    run_mode = os.environ.get("SGVAMP_BENCH_MODE", "streamed")
+    layout = os.environ.get("SGVAMP_BENCH_LAYOUT", "diag")
+    extra = ""
+    if mode == "solve":
+        pb = os.environ.get("SGVAMP_BENCH_PRECOND_BLOCK", "64")
+        pd = os.environ.get("SGVAMP_BENCH_PRECOND_DTYPE", "bfloat16")
+        extra = f"_pb{pb}_{pd}"
     return os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
-        f".bench_{mode}_M{M}_bw{bandwidth}_B{block_size}_{ld_dtype}_K{K}.json")
+        f".bench_{mode}_M{M}_bw{bandwidth}_B{block_size}_{op}_{run_mode}_"
+        f"{layout}_{ld_dtype}_K{K}{extra}_{_kernel_fingerprint()}.json")
 
 
 def _matvec_cache_path():
@@ -597,11 +671,24 @@ def main():
     solve = (run_child("solve", remaining())
              if remaining() > 90
              and os.environ.get("SGVAMP_BENCH_SOLVE", "1") == "1" else None)
+    solve_cached = False
+    if (solve is None and os.environ.get("SGVAMP_BENCH_SOLVE", "1") == "1"
+            and os.path.exists(_child_cache_path("solve"))):
+        try:
+            with open(_child_cache_path("solve")) as f:
+                solve = json.load(f)
+            solve_cached = True
+            _stage("solve numbers served from same-config cache")
+        except (OSError, ValueError):
+            solve = None
     matvec_s = mv["matvec_s"] if mv else float("nan")
     ceiling_gbps = mv.get("ceiling_gbps", float("nan")) if mv else float("nan")
     align = got.get("align", -1.0) if got else -1.0
     align_best = got.get("align_best", -1.0) if got else -1.0
     align_best_it = got.get("align_best_it", -1) if got else -1
+    align_stop = got.get("align_stop", -1.0) if got else -1.0
+    stop_it = got.get("stop_it", -1) if got else -1
+    stop_reason = got.get("stop_reason") if got else None
     if got is not None:
         samples = got["iter_s_samples"]
         iter_s = float(np.median(samples))
@@ -683,24 +770,35 @@ def main():
         "roofline_frac_vs_ceiling": _num(matvec_gbps / ceiling_gbps, 3)
         if np.isfinite(matvec_gbps * ceiling_gbps) else -1.0,
         "compile_s": round(compile_s, 1),
+        "xla_cache_entries": got.get("xla_cache_entries", -1) if got else -1,
         "gen_s": round(gen_s, 1),
+        # state after the timed blocks; each block restarts from the it=1
+        # snapshot, so this is finite whenever iters+1 steps are (it no
+        # longer depends on how far past the operating point the quality
+        # gate pushed the iteration)
         "state_finite": finite,
         # alignment vs the true signal after the REFERENCE's default
         # iteration budget (iterations=10, src/main.py:37) - the
-        # operating point of this early-stopped algorithm. state_finite
-        # reports the state AFTER the additional timed steps (configs may
-        # legitimately overflow when iterated far past convergence; the
-        # reference's own f64 math does too).
+        # operating point of this early-stopped algorithm.
         "align_vs_x0": _num(align),
         # best alignment over the 10 gate iterations and where it peaked
         # (the reference selects per-iteration results post-hoc from its
         # metrics CSV; configs that destabilize late still peak early)
         "align_best_vs_x0": _num(align_best),
         "align_best_it": int(align_best_it),
+        # the HEADLINE quality number: alignment of the iterate the
+        # engine's truth-free StopMonitor selects (gam1-peak snapshot,
+        # core/vamp.py) - what a production run with --stop-on-divergence
+        # delivers WITHOUT peeking at x0, vs the reference's manual
+        # post-hoc CSV selection
+        "align_stop_vs_x0": _num(align_stop),
+        "stop_it": int(stop_it),
+        "stop_reason": stop_reason,
         "step_timed": step_timed,
         # Production-mode time-to-tolerance: plain vs block-Jacobi
         # preconditioned CG on a realistically ill-conditioned panel.
         "solve_rtol1e5": solve,
+        "solve_cached": solve_cached,
         "baseline_iter_s": round(base_s, 2),
         "baseline_parts": {k: round(v, 4) for k, v in base_parts.items()},
         "M": M, "bandwidth": bandwidth, "cg_maxit": cg_maxit,
