@@ -579,6 +579,21 @@ def main(argv: Optional[List[str]] = None) -> int:
         log.info(f"Early stop at iteration {history['stopped_at']} "
                  f"({history['stop_reason']}); best iterate: "
                  f"iteration {history.get('best_it')}\n")
+    # Persist the monitor-selected iterate (xhat1 at the running gam1
+    # peak) whenever a stop criterion is armed: the deliverable of an
+    # early-stopped run is a file, not a metrics-CSV row the user must
+    # fish out post-hoc (the reference workflow, src/main.py:326-338).
+    best_x = history.get("best_xhat1")
+    if writer is not None and best_x is not None and (stop_tol > 0 or stop_drop > 0):
+        from sgvamp_tpu.io.writers import write_bin
+        best_path = os.path.join(args.out_dir,
+                                 f"{args.out_name}_xhat_best.bin")
+        # same 1/sqrt(Nt) scale as the per-iteration xhat bins (beta scale,
+        # reference src/sgvamp.py:64-69)
+        write_bin(best_path,
+                  np.asarray(best_x)[:M] * (1.0 / np.sqrt(Nt) if Nt else 1.0))
+        log.info(f"Selected iterate (iteration {history.get('best_it')}) "
+                 f"written to {best_path}\n")
 
     # -- post-hoc metrics (reference src/main.py:326-338) --
     if x0 is not None and history.get("xhat1"):

@@ -142,6 +142,16 @@ def test_cli_stop_tol_host_loop(tmp_path):
     assert 1 < len(rows["stop"]) < 11
     # the stopped run's trajectory is a prefix of the full run's
     assert rows["stop"][1:] == rows["full"][1:len(rows["stop"])]
+    # a stop-armed run persists the monitor-selected iterate as a file;
+    # a parity run (no stop flags) does not
+    from sgvamp_tpu.io.writers import read_bin
+    best = tmp_path / "stop" / "t_xhat_best.bin"
+    assert best.exists()
+    assert not (tmp_path / "full" / "t_xhat_best.bin").exists()
+    best_x = read_bin(str(best), 200)
+    per_it = [read_bin(str(tmp_path / "stop" / f"t_xhat_it_{it}.bin"), 200)
+              for it in range(len(rows["stop"]) - 1)]  # bins are 0-indexed
+    assert any(np.allclose(best_x, x) for x in per_it)
 
 
 def test_cli_stop_fused_chunked(tmp_path):
