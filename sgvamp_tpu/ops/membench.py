@@ -89,18 +89,26 @@ def read_max(u: Array, interpret: bool = False) -> Array:
     return _read_once(u, a0, chunk, interpret)
 
 
-def _prep(u: Array, chunk_bytes: int = 4 << 20):
+def _prep(u: Array, chunk_bytes: int = 4 << 20, max_bytes: int = 1 << 30):
     """Flatten + truncate to a whole number of equal chunks that divide the
     array; returns (flat array, chunk_elems). Byte-sized dtypes (int8
     quantized LD blocks) are replaced by a bfloat16 array of the SAME byte
     count - mosaic has no int8 reductions, and a bitcast via reshape(-1, 2)
     puts the pair axis minormost, which TPU tiling pads 64x (measured:
     16 GB HLO temp for a 256 MB int8 array - instant OOM). A read-rate
-    ceiling depends only on bytes streamed, not values."""
+    ceiling depends only on bytes streamed, not values.
+
+    The probed stream is capped at max_bytes (1 GB): HBM read rate is
+    flat well below that (the 268 MB M=512k array already sustains
+    750+ GB/s), and an uncapped probe must co-reside with the operand it
+    mirrors - at M=1M/K=8 the 4.3 GB int8 blocks plus a 4.3 GB probe
+    copy plus the engine state exhausted the v5e's HBM."""
     flat = u.reshape(-1)
     if flat.dtype.itemsize == 1:
-        half = flat.size // 2
+        half = min(flat.size // 2, max_bytes // 2)
         flat = (jax.lax.iota(jnp.int32, half) % 251).astype(jnp.bfloat16)
+    elif flat.size * flat.dtype.itemsize > max_bytes:
+        flat = flat[: max_bytes // flat.dtype.itemsize]
     itemsize = flat.dtype.itemsize
     chunk_elems = max(_LANES, (chunk_bytes // itemsize) // _LANES * _LANES)
     n_chunks = flat.size // chunk_elems
