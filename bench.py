@@ -472,21 +472,31 @@ def baseline_cpu(band, r, N, lam, h2, cg_maxit, sample_markers=2000,
 def _params():
     size = os.environ.get("SGVAMP_BENCH_SIZE", "large")
     if size == "small":  # quick smoke (CI / CPU)
-        return 16384, 128, 256, 20, 3
+        B = int(os.environ.get("SGVAMP_BENCH_B", "256"))
+        return 16384, 128, B, 20, 3
     if size == "xl":  # scale-ceiling demo: combine with SGVAMP_BENCH_K=8
-        return 1048576, 256, 256, 100, 3
-    return 524288, 256, 256, 100, 3
+        B = int(os.environ.get("SGVAMP_BENCH_B", "256"))
+        return 1048576, 256, B, 100, 3
+    # B=128 default: same-chip A/B at int8 measured 24.46 iter/s vs 21.01
+    # at B=256 (40.88 vs 47.60 ms median, identical align_stop 0.98703;
+    # per-pass 0.328 vs 0.383 ms - BENCH_AB.json). The smaller block
+    # halves the zero-padding fraction of the band's edge blocks.
+    B = int(os.environ.get("SGVAMP_BENCH_B", "128"))
+    return 524288, 256, B, 100, 3
 
 
 N_SAMPLES, LAM, H2 = 300000, 0.01, 0.7
 # TPU v5e HBM bandwidth spec (the BASELINE.md roofline reference point).
 HBM_SPEC_GBPS = 819.0
-# A/B'd on-chip at M=512k/bw=256/B=256 (see README benchmark table):
-# int8 per-block quantized LD streams 0.339 ms/pass vs bfloat16's
-# 0.766 ms/pass (2.26x: half the bytes at a slightly higher achieved
-# GB/s), with trajectory alignment within the 0.02 gate of f32
-# (tests/test_cli.py::test_cli_ld_dtype_int8). B=128 ties B=256 at int8
-# (0.328 ms) and B=256 keeps cross-round comparability.
+# A/B'd on-chip at M=512k/bw=256 (recorded in BENCH_AB.json): int8
+# per-block quantized LD streams 0.383 ms/pass at B=256 (0.328 at B=128)
+# vs bfloat16's 0.736, with gate alignment identical to 6 decimals
+# (align_stop 0.98703 for bf16/int8/int4 alike). int4 is FASTER still
+# (0.288 ms/pass, 26.1 iter/s) but fails the production solve: on the
+# strength=4 ill-conditioned panel its 16-level quantization degrades
+# conditioning fidelity and rtol=1e-5 CG stalls at maxiter
+# (solve_by_dtype), so int8 stays the default and int4 is opt-in for
+# screening runs.
 _DEFAULT_LD_DTYPE = "int8"
 
 
@@ -816,6 +826,7 @@ def main():
         "baseline_iter_s": round(base_s, 2),
         "baseline_parts": {k: round(v, 4) for k, v in base_parts.items()},
         "M": M, "bandwidth": bandwidth, "cg_maxit": cg_maxit,
+        "block_size": block_size,
         "operator": operator, "ld_dtype": ld_dtype, "K": K,
         "layout": os.environ.get("SGVAMP_BENCH_LAYOUT", "diag"),
         # The CPU baseline is component-measured on a shared 2-vCPU host

@@ -14,6 +14,13 @@ README prose:
     ms/pass x (cg_maxit + 2) LD passes (documented to agree with direct
     step timing within ~10% when both exist) and is flagged as derived.
 
+  * production-solve viability per dtype (rtol=1e-5 plain vs
+    block-Jacobi CG on the strength=4 ill-conditioned panel) - the row
+    that disqualifies int4 for production: its 16-level quantization
+    degrades the operator's conditioning fidelity and CG stalls at
+    maxiter without converging, while int8 converges with a 2.2x
+    preconditioned speedup.
+
 Rows are written incrementally: rerunning resumes a starved matrix
 (existing cells are kept unless --fresh). The per-cell measurements also
 land in bench.py's child caches, so future headline runs on a starved
@@ -60,6 +67,53 @@ def run_kernel_bench(dtype, B, M, bandwidth, passes, budget_s, platform):
     return rows
 
 
+def run_solve_child(dtype, size, budget_s, platform):
+    """Production-mode solve A/B at this dtype (bench.py's solve child:
+    rtol=1e-5 time-to-tolerance, plain vs block-Jacobi, on the
+    strength=4 ill-conditioned panel). Served from bench.py's
+    same-config child cache when one exists - the cache key carries
+    dtype and a kernel-source hash, so a cached row is a valid
+    same-chip measurement of the same code."""
+    sys.path.insert(0, REPO)
+    import bench as _bench
+
+    saved = {k: os.environ.get(k)
+             for k in ("SGVAMP_BENCH_LD_DTYPE", "SGVAMP_BENCH_SIZE")}
+    os.environ["SGVAMP_BENCH_LD_DTYPE"] = dtype
+    os.environ["SGVAMP_BENCH_SIZE"] = size
+    try:
+        cache = _bench._child_cache_path("solve")
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    if os.path.exists(cache):
+        try:
+            with open(cache) as f:
+                row = json.load(f)
+            row["cached"] = True
+            return row
+        except (OSError, ValueError):
+            pass
+    env = dict(os.environ)
+    env.update(SGVAMP_BENCH_CHILD="solve", SGVAMP_BENCH_SIZE=size,
+               SGVAMP_BENCH_LD_DTYPE=dtype)
+    if platform:
+        env["SGVAMP_BENCH_PLATFORM"] = platform
+    try:
+        out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                             env=env, capture_output=True, text=True,
+                             timeout=budget_s, cwd=REPO)
+    except subprocess.TimeoutExpired:
+        return {"error": "budget exceeded"}
+    for line in out.stdout.splitlines():
+        if line.startswith("{"):
+            return json.loads(line)
+    return {"error": out.stderr[-300:]}
+
+
 def run_step_child(dtype, size, budget_s, platform):
     env = dict(os.environ)
     env.update(SGVAMP_BENCH_CHILD="step", SGVAMP_BENCH_SIZE=size,
@@ -88,6 +142,8 @@ def main():
                     help="per-subprocess budget")
     ap.add_argument("--skip-steps", action="store_true",
                     help="only the matvec grid, no full-step children")
+    ap.add_argument("--skip-solves", action="store_true",
+                    help="skip the per-dtype production-solve A/B")
     ap.add_argument("--fresh", action="store_true",
                     help="ignore existing cells and remeasure everything")
     ap.add_argument("--platform", default=None)
@@ -107,8 +163,12 @@ def main():
                "step": "bench.py step child (snapshot-restart timing + "
                        "10-iteration quality gate with StopMonitor) at the "
                        "bench default B=256 diag streamed",
+               "solve": "bench.py solve child: rtol=1e-5 time-to-tolerance, "
+                        "plain vs block-Jacobi CG, strength=4 "
+                        "ill-conditioned panel - the production regime the "
+                        "storage decision must survive",
            },
-           "matvec_grid": [], "step_by_dtype": {}}
+           "matvec_grid": [], "step_by_dtype": {}, "solve_by_dtype": {}}
     if os.path.exists(args.out) and not args.fresh:
         try:
             with open(args.out) as f:
@@ -118,6 +178,9 @@ def main():
                                       if "error" not in r or "unsupported" in r]
                 doc["step_by_dtype"] = {
                     k: v for k, v in old.get("step_by_dtype", {}).items()
+                    if "error" not in v}
+                doc["solve_by_dtype"] = {
+                    k: v for k, v in old.get("solve_by_dtype", {}).items()
                     if "error" not in v}
         except (OSError, ValueError):
             pass
@@ -182,6 +245,16 @@ def main():
                     "stop_reason": got.get("stop_reason"),
                     "compile_s": got["compile_s"],
                 }
+            save()
+
+    if not args.skip_solves:
+        for dtype in DTYPES:
+            if dtype in doc["solve_by_dtype"]:
+                continue
+            print(f"[ab] {time.strftime('%H:%M:%S')} solve child {dtype}",
+                  file=sys.stderr, flush=True)
+            doc["solve_by_dtype"][dtype] = run_solve_child(
+                dtype, args.size, args.budget_s, args.platform)
             save()
 
     ok = [r for r in doc["matvec_grid"] if "ms_per_pass" in r]
