@@ -593,7 +593,9 @@ def _kernel_fingerprint():
     h = hashlib.md5()
     for rel in ("sgvamp_tpu/ops/band_kernel.py", "sgvamp_tpu/core/cg.py",
                 "sgvamp_tpu/core/vamp.py", "sgvamp_tpu/core/operators.py",
-                "sgvamp_tpu/core/precond.py"):
+                "sgvamp_tpu/core/precond.py",
+                # the probe defines the cached ceiling numbers
+                "sgvamp_tpu/ops/membench.py"):
         try:
             with open(os.path.join(root, rel), "rb") as f:
                 h.update(f.read())

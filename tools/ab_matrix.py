@@ -46,6 +46,24 @@ CG_MAXIT = {"small": 20, "large": 100, "xl": 100}
 M_OF = {"small": 16384, "large": 524288, "xl": 1048576}
 
 
+def _bench_default_B(size):
+    """The block size bench.py's children run at for this size (the step
+    and solve rows use the bench default; the matvec grid sweeps B
+    explicitly)."""
+    sys.path.insert(0, REPO)
+    import bench as _bench
+
+    saved = os.environ.get("SGVAMP_BENCH_SIZE")
+    os.environ["SGVAMP_BENCH_SIZE"] = size
+    try:
+        return _bench._params()[2]
+    finally:
+        if saved is None:
+            os.environ.pop("SGVAMP_BENCH_SIZE", None)
+        else:
+            os.environ["SGVAMP_BENCH_SIZE"] = saved
+
+
 def run_kernel_bench(dtype, B, M, bandwidth, passes, budget_s, platform):
     cmd = [sys.executable, os.path.join(REPO, "tools", "kernel_bench.py"),
            "--M", str(M), "--bandwidth", str(bandwidth), "--B", str(B),
@@ -162,7 +180,7 @@ def main():
                              " - agrees with direct step timing within ~10%",
                "step": "bench.py step child (snapshot-restart timing + "
                        "10-iteration quality gate with StopMonitor) at the "
-                       "bench default B=256 diag streamed",
+                       "bench-default B (recorded per row) diag streamed",
                "solve": "bench.py solve child: rtol=1e-5 time-to-tolerance, "
                         "plain vs block-Jacobi CG, strength=4 "
                         "ill-conditioned panel - the production regime the "
@@ -229,12 +247,14 @@ def main():
                   file=sys.stderr, flush=True)
             got = run_step_child(dtype, args.size, args.budget_s,
                                  args.platform)
+            got["B"] = _bench_default_B(args.size)
             if "error" in got:
                 doc["step_by_dtype"][dtype] = got
             else:
                 import numpy as np
                 s = got["iter_s_samples"]
                 doc["step_by_dtype"][dtype] = {
+                    "B": got["B"],
                     "iter_ms_median": round(float(np.median(s)) * 1e3, 2),
                     "iter_s": round(1.0 / float(np.median(s)), 3),
                     "align_it10": got["align"],
@@ -253,8 +273,10 @@ def main():
                 continue
             print(f"[ab] {time.strftime('%H:%M:%S')} solve child {dtype}",
                   file=sys.stderr, flush=True)
-            doc["solve_by_dtype"][dtype] = run_solve_child(
-                dtype, args.size, args.budget_s, args.platform)
+            row = run_solve_child(dtype, args.size, args.budget_s,
+                                  args.platform)
+            row["B"] = _bench_default_B(args.size)
+            doc["solve_by_dtype"][dtype] = row
             save()
 
     ok = [r for r in doc["matvec_grid"] if "ms_per_pass" in r]
