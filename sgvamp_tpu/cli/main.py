@@ -163,6 +163,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
 
     logging.basicConfig(format="%(message)s", level=logging.DEBUG)
+    # the DEBUG root level is for sgvamp's own phase/load timers; jax's
+    # internal loggers would inherit it and flood the log with per-program
+    # compile-cache chatter (thousands of lines at biobank scale)
+    logging.getLogger("jax").setLevel(logging.INFO)
     log = logging.getLogger("sgvamp")
     log.info(" ### VAMP for summary statistics (TPU) ###\n")
 
