@@ -215,6 +215,14 @@ def main(argv: Optional[List[str]] = None) -> int:
         # would truncate correlations in [-1, 1] to zero and silently
         # produce garbage.
         raise SystemExit(f"--ld-dtype {ld_dtype} requires --operator sym")
+    if ld_dtype == "int4" and args.cg_rtol and args.cg_rtol <= 1e-4:
+        # Measured (BENCH_AB.json solve_by_dtype): on an ill-conditioned
+        # panel rtol=1e-5 CG stalls at maxiter under int4's 16-level
+        # quantization while int8 converges - int4 is screening-quality.
+        log.info("WARNING: --ld-dtype int4 with --cg-rtol <= 1e-4: CG may "
+                 "not reach tolerance under 16-level quantization on "
+                 "ill-conditioned LD (recorded: BENCH_AB.json "
+                 "solve_by_dtype); use int8 for production solves\n")
 
     import jax.numpy as jnp
 
