@@ -418,8 +418,11 @@ def main(argv: Optional[List[str]] = None) -> int:
             ops = []
             for b in bands_k:
                 w = (b.shape[1] - 1) // 2
-                full = np.zeros((M, 2 * bw + 1), b.dtype)
-                full[:, bw - w:bw + w + 1] = b
+                if w == bw:  # already at the shared bandwidth: no copy
+                    full = b
+                else:
+                    full = np.zeros((M, 2 * bw + 1), b.dtype)
+                    full[:, bw - w:bw + w + 1] = b
                 ops.append(SymBandedLD.from_band(full, block_size=B, s=s,
                                                  dtype=ld_dtype))
             scales = (jnp.concatenate([o.scales for o in ops], axis=0)

@@ -92,6 +92,24 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_double),
         ]
+        f32p = ctypes.POINTER(ctypes.c_float)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        for iname, ip in (("i32", ctypes.POINTER(ctypes.c_int32)),
+                          ("i64", ctypes.POINTER(ctypes.c_int64))):
+            for vname, vp in (("f32", f32p), ("f64", f64p)):
+                fn = getattr(lib, f"ldparse_csr_to_band_{iname}_{vname}")
+                fn.restype = ctypes.c_int64
+                fn.argtypes = [ctypes.c_int64, ip, ip, vp, ctypes.c_int64,
+                               f32p]
+            fn = getattr(lib, f"ldparse_csr_max_bw_{iname}")
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [ctypes.c_int64, ip, ip]
+        lib.ldparse_band_pack_i8.restype = None
+        lib.ldparse_band_pack_i8.argtypes = [
+            f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int8), f32p,
+        ]
         _lib = lib
         return _lib
 
@@ -136,6 +154,83 @@ def max_bandwidth(rows: np.ndarray, cols: np.ndarray) -> Optional[int]:
     rows = np.ascontiguousarray(rows, np.int64)
     cols = np.ascontiguousarray(cols, np.int64)
     return int(lib.ldparse_max_bandwidth(len(rows), _i64p(rows), _i64p(cols)))
+
+
+def band_pack_i8(band: np.ndarray, B: int
+                 ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Pack float32 band storage (M, 2*bw+1) into int8 upper-triangle
+    blocks (nb, hb+1, B, B) with per-block float32 scales, bit-identical
+    to SymBandedLD.from_band's numpy path (incl. pad rows' unit diagonal
+    and the past-matrix zero-block invariant). Returns (upper, scales)
+    or None if unavailable."""
+    lib = get_lib()
+    if lib is None or band.dtype != np.float32:
+        return None
+    band = np.ascontiguousarray(band)
+    M_orig, nd = band.shape
+    bw = (nd - 1) // 2
+    nb = -(-M_orig // B)
+    hb = -(-bw // B)
+    upper = np.empty((nb, hb + 1, B, B), np.int8)
+    scales = np.empty((nb, hb + 1), np.float32)
+    lib.ldparse_band_pack_i8(
+        band.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        M_orig, nd, B, nb, hb,
+        upper.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        scales.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return upper, scales
+
+
+def _csr_suffixes(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray):
+    """(index_suffix, value_suffix) for the CSR entry points, or None when
+    the dtype combination has no native symbol."""
+    if indptr.dtype != indices.dtype:
+        return None
+    iname = {np.dtype(np.int32): "i32", np.dtype(np.int64): "i64"}.get(indptr.dtype)
+    vname = {np.dtype(np.float32): "f32", np.dtype(np.float64): "f64"}.get(data.dtype)
+    if iname is None or vname is None:
+        return None
+    return iname, vname
+
+
+def csr_to_band(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
+                M: int, bw: int) -> Optional[Tuple[np.ndarray, int]]:
+    """Symmetric band storage (M, 2*bw+1) float32 straight from CSR arrays
+    (one row-ordered pass; no COO expansion). The diagonal comes from the
+    matrix itself, matching data/loaders.csr_to_band's Python path.
+    Returns (band, dropped_count), or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    sfx = _csr_suffixes(indptr, indices, data)
+    if sfx is None:
+        return None
+    indptr = np.ascontiguousarray(indptr)
+    indices = np.ascontiguousarray(indices)
+    data = np.ascontiguousarray(data)
+    band = np.zeros((M, 2 * bw + 1), np.float32)
+    ip = ctypes.POINTER(ctypes.c_int32 if sfx[0] == "i32" else ctypes.c_int64)
+    vp = ctypes.POINTER(ctypes.c_float if sfx[1] == "f32" else ctypes.c_double)
+    fn = getattr(lib, f"ldparse_csr_to_band_{sfx[0]}_{sfx[1]}")
+    dropped = fn(M, indptr.ctypes.data_as(ip), indices.ctypes.data_as(ip),
+                 data.ctypes.data_as(vp), bw,
+                 band.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return band, int(dropped)
+
+
+def csr_max_bandwidth(indptr: np.ndarray, indices: np.ndarray,
+                      M: int) -> Optional[int]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    sfx = _csr_suffixes(indptr, indices, np.empty(0, np.float32))
+    if sfx is None:
+        return None
+    indptr = np.ascontiguousarray(indptr)
+    indices = np.ascontiguousarray(indices)
+    ip = ctypes.POINTER(ctypes.c_int32 if sfx[0] == "i32" else ctypes.c_int64)
+    fn = getattr(lib, f"ldparse_csr_max_bw_{sfx[0]}")
+    return int(fn(M, indptr.ctypes.data_as(ip), indices.ctypes.data_as(ip)))
 
 
 def triplets_to_band(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,

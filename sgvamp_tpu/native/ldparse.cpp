@@ -17,6 +17,7 @@
 //   ldparse_to_band(n, a, b, v, M, bw, band) -> dropped-entry count;
 //       band is float32 (M, 2*bw+1), diagonal preset to 1 by this call.
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -180,6 +181,159 @@ int64_t ldparse_to_band_f64(int64_t n, const int64_t* a, const int64_t* b,
                             const double* v, int64_t M, int64_t bw,
                             double* band) {
   return to_band_impl(n, a, b, v, M, bw, band);
+}
+
+}  // extern "C"
+
+// -- direct CSR -> symmetric band (data/loaders.csr_to_band fast path) -----
+//
+// The Python path expands CSR to COO, masks |col-row| <= bw, and fancy-
+// scatters 100M+ entries (measured 25 s of the 53 s biobank ingestion at
+// M=512k / 135M nnz); one row-ordered pass over indptr/indices writes the
+// band rows sequentially instead. The diagonal comes from the matrix
+// itself (same contract as the Python path). Returns the dropped-entry
+// count (|col - row| > bw).
+
+namespace {
+
+template <typename I, typename V>
+int64_t csr_to_band_impl(int64_t M, const I* indptr, const I* indices,
+                         const V* data, int64_t bw, float* band) {
+  const int64_t W = 2 * bw + 1;
+  int64_t dropped = 0;
+  for (int64_t i = 0; i < M; ++i) {
+    float* row = band + i * W;
+    const int64_t k1 = static_cast<int64_t>(indptr[i + 1]);
+    for (int64_t k = static_cast<int64_t>(indptr[i]); k < k1; ++k) {
+      const int64_t d = static_cast<int64_t>(indices[k]) - i;
+      if (d < -bw || d > bw) {
+        ++dropped;
+        continue;
+      }
+      row[bw + d] = static_cast<float>(data[k]);
+    }
+  }
+  return dropped;
+}
+
+template <typename I>
+int64_t csr_max_bw_impl(int64_t M, const I* indptr, const I* indices) {
+  int64_t bw = 0;
+  for (int64_t i = 0; i < M; ++i) {
+    const int64_t k1 = static_cast<int64_t>(indptr[i + 1]);
+    for (int64_t k = static_cast<int64_t>(indptr[i]); k < k1; ++k) {
+      const int64_t d = static_cast<int64_t>(indices[k]) - i;
+      const int64_t ad = d < 0 ? -d : d;
+      if (ad > bw) bw = ad;
+    }
+  }
+  return bw;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t ldparse_csr_to_band_i32_f32(int64_t M, const int32_t* indptr,
+                                    const int32_t* indices, const float* data,
+                                    int64_t bw, float* band) {
+  return csr_to_band_impl(M, indptr, indices, data, bw, band);
+}
+
+int64_t ldparse_csr_to_band_i32_f64(int64_t M, const int32_t* indptr,
+                                    const int32_t* indices, const double* data,
+                                    int64_t bw, float* band) {
+  return csr_to_band_impl(M, indptr, indices, data, bw, band);
+}
+
+int64_t ldparse_csr_to_band_i64_f32(int64_t M, const int64_t* indptr,
+                                    const int64_t* indices, const float* data,
+                                    int64_t bw, float* band) {
+  return csr_to_band_impl(M, indptr, indices, data, bw, band);
+}
+
+int64_t ldparse_csr_to_band_i64_f64(int64_t M, const int64_t* indptr,
+                                    const int64_t* indices, const double* data,
+                                    int64_t bw, float* band) {
+  return csr_to_band_impl(M, indptr, indices, data, bw, band);
+}
+
+int64_t ldparse_csr_max_bw_i32(int64_t M, const int32_t* indptr,
+                               const int32_t* indices) {
+  return csr_max_bw_impl(M, indptr, indices);
+}
+
+int64_t ldparse_csr_max_bw_i64(int64_t M, const int64_t* indptr,
+                               const int64_t* indices) {
+  return csr_max_bw_impl(M, indptr, indices);
+}
+
+// -- band -> upper-triangle int8 blocks (SymBandedLD.from_band fast path) --
+//
+// One pass builds the (nb, hb+1, B, B) upper blocks from float32 band
+// storage and quantizes them symmetrically per block (q = rint(v/scale),
+// scale = max|v|/127), bit-identical to the numpy path: the float32
+// divide and round-half-even match np.rint elementwise, and abs-max is
+// order-independent. Rows past M_orig are the pad rows (unit diagonal);
+// columns past the band are zero; blocks whose column index runs past the
+// matrix (d >= 1, i >= nb - d) stay exactly zero with scale 0 - the same
+// invariants the Python path enforces. The numpy version moves ~5 GB of
+// float temporaries through 2 vCPUs (measured 16.8 s at M=512k, B=128);
+// this pass reads the band once and writes int8 + scales (~1 s).
+
+void ldparse_band_pack_i8(const float* band, int64_t M_orig, int64_t nd,
+                          int64_t B, int64_t nb, int64_t hb, int8_t* upper,
+                          float* scales) {
+  const int64_t bw = (nd - 1) / 2;
+  std::vector<float> blk(static_cast<size_t>(B) * B);
+  for (int64_t i = 0; i < nb; ++i) {
+    for (int64_t d = 0; d <= hb; ++d) {
+      int8_t* out = upper + ((i * (hb + 1) + d) * B * B);
+      float* sc_out = scales + (i * (hb + 1) + d);
+      if (d >= 1 && i >= nb - d) {  // past-matrix block: exact zeros
+        memset(out, 0, static_cast<size_t>(B) * B);
+        *sc_out = 0.0f;
+        continue;
+      }
+      float amax = 0.0f;
+      for (int64_t p = 0; p < B; ++p) {
+        const int64_t row = i * B + p;
+        float* dst = blk.data() + p * B;
+        if (row >= M_orig) {  // pad row: unit diagonal only
+          memset(dst, 0, static_cast<size_t>(B) * sizeof(float));
+          if (d == 0) {
+            dst[p] = 1.0f;
+            if (1.0f > amax) amax = 1.0f;
+          }
+          continue;
+        }
+        const float* brow = band + row * nd;
+        const int64_t base = bw + d * B - p;  // col offset for q = 0
+        const int64_t q0 = base < 0 ? -base : 0;
+        const int64_t q1 = base + B > nd ? nd - base : B;
+        for (int64_t q = 0; q < q0; ++q) dst[q] = 0.0f;
+        for (int64_t q = q0; q < q1; ++q) {
+          const float v = brow[base + q];
+          dst[q] = v;
+          const float a = v < 0 ? -v : v;
+          if (a > amax) amax = a;
+        }
+        for (int64_t q = q1 < 0 ? 0 : q1; q < B; ++q) dst[q] = 0.0f;
+      }
+      const float sc = amax / 127.0f;
+      *sc_out = sc;
+      if (sc == 0.0f) {
+        memset(out, 0, static_cast<size_t>(B) * B);
+        continue;
+      }
+      for (int64_t k = 0; k < B * B; ++k) {
+        float q = nearbyintf(blk[k] / sc);
+        if (q > 127.0f) q = 127.0f;
+        if (q < -127.0f) q = -127.0f;
+        out[k] = static_cast<int8_t>(q);
+      }
+    }
+  }
 }
 
 }  // extern "C"

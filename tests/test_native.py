@@ -96,6 +96,82 @@ def test_band_assembly_matches_csr(tmp_path, lib_available):
                                    R2, atol=1e-6)
 
 
+def test_csr_to_band_native_matches_python(lib_available):
+    """The direct CSR->band pass (the loaders.csr_to_band fast path) must
+    equal the Python COO-scatter path: same band, bandwidth, and dropped
+    count - including out-of-band entries and both index dtypes."""
+    import os
+
+    import scipy.sparse
+
+    rng = np.random.default_rng(3)
+    M = 400
+    dense = np.zeros((M, M), np.float32)
+    for _ in range(1500):
+        i, j = rng.integers(0, M, 2)
+        dense[i, j] = dense[j, i] = rng.normal()
+    np.fill_diagonal(dense, 1.0)
+    # a few far off-band entries that a bw=32 conversion must drop
+    dense[0, M - 1] = dense[M - 1, 0] = 0.5
+    R = scipy.sparse.csr_matrix(dense)
+
+    os.environ["SGVAMP_NO_NATIVE"] = "1"
+    try:
+        band_py, bw_py, drop_py = loaders.csr_to_band(R, 32)
+        band_py_auto, bw_auto_py, _ = loaders.csr_to_band(R, None)
+    finally:
+        del os.environ["SGVAMP_NO_NATIVE"]
+
+    for idx_dtype in (np.int32, np.int64):
+        Rc = R.copy()
+        Rc.indptr = Rc.indptr.astype(idx_dtype)
+        Rc.indices = Rc.indices.astype(idx_dtype)
+        band_c, bw_c, drop_c = loaders.csr_to_band(Rc, 32)
+        assert (bw_c, drop_c) == (bw_py, drop_py) and drop_c > 0
+        np.testing.assert_array_equal(band_c, band_py)
+        band_a, bw_a, _ = loaders.csr_to_band(Rc, None)
+        assert bw_a == bw_auto_py == M - 1
+        np.testing.assert_array_equal(band_a, band_py_auto)
+    # float64 data also takes the native path (f32 band out)
+    R64 = scipy.sparse.csr_matrix(dense.astype(np.float64))
+    band_d, bw_d, drop_d = loaders.csr_to_band(R64, 32)
+    assert (bw_d, drop_d) == (bw_py, drop_py)
+    np.testing.assert_array_equal(band_d, band_py)
+
+
+def test_band_pack_i8_native_matches_numpy(lib_available):
+    """SymBandedLD.from_band's native int8 pack must be BIT-identical to
+    the numpy path (same blocks, same scales): ragged M (pad rows with
+    unit diagonal), bw not a block multiple, zero edge blocks, negative
+    and >1 values."""
+    import os
+
+    from sgvamp_tpu.ops.band_kernel import SymBandedLD
+
+    rng = np.random.default_rng(7)
+    for M, bw, B in ((1000, 96, 128), (512, 64, 64), (300, 300, 128)):
+        band = rng.normal(scale=0.4, size=(M, 2 * bw + 1)).astype(np.float32)
+        band[:, bw] = 1.0
+        band[5] *= 4.0  # exercise clipping range
+        # band storage invariant: entries past the matrix edge are zero
+        for i in range(M):
+            for d in range(1, bw + 1):
+                if i + d >= M:
+                    band[i, bw + d] = 0.0
+                if i - d < 0:
+                    band[i, bw - d] = 0.0
+        op_native = SymBandedLD.from_band(band, block_size=B, dtype="int8")
+        os.environ["SGVAMP_NO_NATIVE"] = "1"
+        try:
+            op_py = SymBandedLD.from_band(band, block_size=B, dtype="int8")
+        finally:
+            del os.environ["SGVAMP_NO_NATIVE"]
+        np.testing.assert_array_equal(np.asarray(op_native.upper),
+                                      np.asarray(op_py.upper))
+        np.testing.assert_array_equal(np.asarray(op_native.scales),
+                                      np.asarray(op_py.scales))
+
+
 def test_native_speed_sanity(tmp_path, lib_available):
     """Native parse should beat pandas comfortably on a larger table."""
     rng = np.random.default_rng(2)
