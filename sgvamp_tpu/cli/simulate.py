@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
     gb.add_argument("--K", type=int, default=1,
                     help="cohorts: K r-vectors (independent noise draws "
                     "over the shared panel), written {out}_{k}_r.npy")
+    gb.add_argument("--uncompressed", action="store_true",
+                    help="write the CSR .npz without zlib (~3x larger "
+                    "file, ~5x faster to load: decompression is the "
+                    "single-core bottleneck of biobank-scale ingestion)")
     return p
 
 
@@ -99,7 +103,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             [band[:M - d, bw + d] if d >= 0 else band[-d:, bw + d]
              for d in offs],
             offs, shape=(M, M), format="csr", dtype=np.float32)
-        sp.save_npz(args.out + "_R.npz", R)
+        sp.save_npz(args.out + "_R.npz", R, compressed=not args.uncompressed)
         # x0 = sqrt(N) * beta in engine scale (simulate_ld_band); the file
         # carries beta so the driver's load_true_signal x sqrt(N)
         # (reference src/main.py:276) reconstructs x0 exactly
