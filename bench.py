@@ -595,7 +595,11 @@ def _kernel_fingerprint():
                 "sgvamp_tpu/core/vamp.py", "sgvamp_tpu/core/operators.py",
                 "sgvamp_tpu/core/precond.py",
                 # the probe defines the cached ceiling numbers
-                "sgvamp_tpu/ops/membench.py"):
+                "sgvamp_tpu/ops/membench.py",
+                # bench.py itself defines the timing protocol and the
+                # problem constants (N_SAMPLES/LAM/H2, block structure) -
+                # a protocol change must not be served old measurements
+                "bench.py"):
         try:
             with open(os.path.join(root, rel), "rb") as f:
                 h.update(f.read())

@@ -577,6 +577,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 if reason is not None:
                     history["stopped_at"] = stop_it
                     history["stop_reason"] = reason
+                    history["stop_posthoc"] = True  # all iterations DID run
             history["best_it"] = monitor.best_it
             history["best_xhat1"] = monitor.best_xhat1
         else:
@@ -591,9 +592,17 @@ def main(argv: Optional[List[str]] = None) -> int:
     log.info(f"sgVAMP inference running time: {time.time() - ts:0.4f}s\n")
     log.debug(timers.report())
     if history.get("stopped_at") is not None:
-        log.info(f"Early stop at iteration {history['stopped_at']} "
-                 f"({history['stop_reason']}); best iterate: "
-                 f"iteration {history.get('best_it')}\n")
+        if history.get("stop_posthoc"):
+            # a single fused scan cannot stop mid-program: every requested
+            # iteration ran; the criterion is reported post-hoc
+            log.info(f"Stop criterion met at iteration "
+                     f"{history['stopped_at']} ({history['stop_reason']}), "
+                     f"detected post-hoc (fused scan ran all iterations); "
+                     f"best iterate: iteration {history.get('best_it')}\n")
+        else:
+            log.info(f"Early stop at iteration {history['stopped_at']} "
+                     f"({history['stop_reason']}); best iterate: "
+                     f"iteration {history.get('best_it')}\n")
     # Persist the monitor-selected iterate (xhat1 at the running gam1
     # peak) whenever a stop criterion is armed: the deliverable of an
     # early-stopped run is a file, not a metrics-CSV row the user must

@@ -50,68 +50,90 @@ def get_lib() -> Optional[ctypes.CDLL]:
         path = _build()
         if path is None:
             return None
-        lib = ctypes.CDLL(path)
-        lib.ldparse_parse.restype = ctypes.c_void_p
-        lib.ldparse_parse.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64]
-        lib.ldparse_error.restype = ctypes.c_char_p
-        lib.ldparse_error.argtypes = [ctypes.c_void_p]
-        lib.ldparse_count.restype = ctypes.c_int64
-        lib.ldparse_count.argtypes = [ctypes.c_void_p]
-        lib.ldparse_copy.restype = None
-        lib.ldparse_copy.argtypes = [
-            ctypes.c_void_p,
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_double),
-        ]
-        lib.ldparse_free.restype = None
-        lib.ldparse_free.argtypes = [ctypes.c_void_p]
-        lib.ldparse_max_bandwidth.restype = ctypes.c_int64
-        lib.ldparse_max_bandwidth.argtypes = [
-            ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int64),
-        ]
-        lib.ldparse_to_band.restype = ctypes.c_int64
-        lib.ldparse_to_band.argtypes = [
-            ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_double),
-            ctypes.c_int64,
-            ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_float),
-        ]
-        lib.ldparse_to_band_f64.restype = ctypes.c_int64
-        lib.ldparse_to_band_f64.argtypes = [
-            ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_double),
-            ctypes.c_int64,
-            ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_double),
-        ]
-        f32p = ctypes.POINTER(ctypes.c_float)
-        f64p = ctypes.POINTER(ctypes.c_double)
-        for iname, ip in (("i32", ctypes.POINTER(ctypes.c_int32)),
-                          ("i64", ctypes.POINTER(ctypes.c_int64))):
-            for vname, vp in (("f32", f32p), ("f64", f64p)):
-                fn = getattr(lib, f"ldparse_csr_to_band_{iname}_{vname}")
-                fn.restype = ctypes.c_int64
-                fn.argtypes = [ctypes.c_int64, ip, ip, vp, ctypes.c_int64,
-                               f32p]
-            fn = getattr(lib, f"ldparse_csr_max_bw_{iname}")
-            fn.restype = ctypes.c_int64
-            fn.argtypes = [ctypes.c_int64, ip, ip]
-        lib.ldparse_band_pack_i8.restype = None
-        lib.ldparse_band_pack_i8.argtypes = [
-            f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_int64, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int8), f32p,
-        ]
-        _lib = lib
+        try:
+            _lib = _bind(ctypes.CDLL(path))
+        except (AttributeError, OSError):
+            # a stale .so with a fresh mtime (copied checkout, extracted
+            # archive, shipped prebuilt) lacks newer symbols: force one
+            # rebuild from source, else keep the Python fallback
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+            path = _build()
+            if path is None:
+                return None
+            try:
+                _lib = _bind(ctypes.CDLL(path))
+            except (AttributeError, OSError) as e:
+                logger.debug(f"native ldparse unusable ({e}); Python fallback")
+                _lib = None
         return _lib
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    """Declare every exported symbol's signature; raises AttributeError
+    if the loaded .so predates a symbol (handled by get_lib)."""
+    lib.ldparse_parse.restype = ctypes.c_void_p
+    lib.ldparse_parse.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64]
+    lib.ldparse_error.restype = ctypes.c_char_p
+    lib.ldparse_error.argtypes = [ctypes.c_void_p]
+    lib.ldparse_count.restype = ctypes.c_int64
+    lib.ldparse_count.argtypes = [ctypes.c_void_p]
+    lib.ldparse_copy.restype = None
+    lib.ldparse_copy.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.ldparse_free.restype = None
+    lib.ldparse_free.argtypes = [ctypes.c_void_p]
+    lib.ldparse_max_bandwidth.restype = ctypes.c_int64
+    lib.ldparse_max_bandwidth.argtypes = [
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.ldparse_to_band.restype = ctypes.c_int64
+    lib.ldparse_to_band.argtypes = [
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.ldparse_to_band_f64.restype = ctypes.c_int64
+    lib.ldparse_to_band_f64.argtypes = [
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    f32p = ctypes.POINTER(ctypes.c_float)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    for iname, ip in (("i32", ctypes.POINTER(ctypes.c_int32)),
+                      ("i64", ctypes.POINTER(ctypes.c_int64))):
+        for vname, vp in (("f32", f32p), ("f64", f64p)):
+            fn = getattr(lib, f"ldparse_csr_to_band_{iname}_{vname}")
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [ctypes.c_int64, ip, ip, vp, ctypes.c_int64,
+                           f32p]
+        fn = getattr(lib, f"ldparse_csr_max_bw_{iname}")
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [ctypes.c_int64, ip, ip]
+    lib.ldparse_band_pack_i8.restype = None
+    lib.ldparse_band_pack_i8.argtypes = [
+        f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int8), f32p,
+    ]
+    return lib
 
 
 def _i64p(x: np.ndarray):

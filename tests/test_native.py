@@ -172,6 +172,28 @@ def test_band_pack_i8_native_matches_numpy(lib_available):
                                       np.asarray(op_py.scales))
 
 
+def test_stale_so_rebuilds(tmp_path, lib_available, monkeypatch):
+    """A stale or corrupt _ldparse.so with a fresh mtime (copied checkout,
+    extracted archive) must trigger a rebuild from source, not crash.
+    Uses a temp library path - never touches the dlopen'ed real .so
+    (overwriting a mapped library corrupts the running process)."""
+    import os
+    import time as _time
+
+    fake = tmp_path / "_ldparse.so"
+    fake.write_bytes(b"not a shared library")
+    future = _time.time() + 3600
+    os.utime(fake, (future, future))  # defeats the mtime freshness check
+    monkeypatch.setattr(native, "_LIB", str(fake))
+    monkeypatch.setattr(native, "_tried", False)
+    monkeypatch.setattr(native, "_lib", None)
+    lib = native.get_lib()
+    assert lib is not None  # rebuilt from ldparse.cpp into the temp path
+    assert hasattr(lib, "ldparse_band_pack_i8")
+    monkeypatch.setattr(native, "_tried", False)
+    monkeypatch.setattr(native, "_lib", None)
+
+
 def test_native_speed_sanity(tmp_path, lib_available):
     """Native parse should beat pandas comfortably on a larger table."""
     rng = np.random.default_rng(2)

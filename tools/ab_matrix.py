@@ -65,49 +65,88 @@ def _bench_default_B(size):
 
 
 def run_kernel_bench(dtype, B, M, bandwidth, passes, budget_s, platform):
+    variants = ("streamed", "slabstreamed")
     cmd = [sys.executable, os.path.join(REPO, "tools", "kernel_bench.py"),
            "--M", str(M), "--bandwidth", str(bandwidth), "--B", str(B),
            "--dtype", dtype, "--passes", str(passes),
-           "--variants", "streamed,slabstreamed"]
+           "--variants", ",".join(variants)]
     if platform:
         cmd += ["--platform", platform]
+
+    def error_rows(msg):
+        # one error row PER variant, so a failure leaves a marker in both
+        # the diag and slab cells instead of silently dropping slab
+        return [{"error": msg, "dtype": dtype, "B": B, "variant": v}
+                for v in variants]
+
     try:
         out = subprocess.run(cmd, capture_output=True, text=True,
                              timeout=budget_s, cwd=REPO)
     except subprocess.TimeoutExpired:
-        return [{"error": "budget exceeded", "dtype": dtype, "B": B}]
+        return error_rows("budget exceeded")
     rows = []
     for line in out.stdout.splitlines():
         if line.startswith("{"):
             rows.append(json.loads(line))
     if not rows:
-        rows.append({"error": out.stderr[-300:], "dtype": dtype, "B": B})
+        return error_rows(out.stderr[-300:])
     return rows
 
 
-def run_solve_child(dtype, size, budget_s, platform):
+def _with_bench_env(dtype, size):
+    """Temporarily set the bench env knobs; returns the saved values."""
+    saved = {k: os.environ.get(k)
+             for k in ("SGVAMP_BENCH_LD_DTYPE", "SGVAMP_BENCH_SIZE")}
+    os.environ["SGVAMP_BENCH_LD_DTYPE"] = dtype
+    os.environ["SGVAMP_BENCH_SIZE"] = size
+    return saved
+
+
+def _restore_env(saved):
+    for k, v in saved.items():
+        if v is None:
+            os.environ.pop(k, None)
+        else:
+            os.environ[k] = v
+
+
+def run_bench_child(mode, dtype, size, budget_s, platform):
+    """Spawn one bench.py timing child (mode: 'step' or 'solve') and
+    return its JSON dict, or an {'error': ...} row."""
+    env = dict(os.environ)
+    env.update(SGVAMP_BENCH_CHILD=mode, SGVAMP_BENCH_SIZE=size,
+               SGVAMP_BENCH_LD_DTYPE=dtype)
+    if platform:
+        env["SGVAMP_BENCH_PLATFORM"] = platform
+    try:
+        out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                             env=env, capture_output=True, text=True,
+                             timeout=budget_s, cwd=REPO)
+    except subprocess.TimeoutExpired:
+        return {"error": "budget exceeded"}
+    for line in out.stdout.splitlines():
+        if line.startswith("{"):
+            return json.loads(line)
+    return {"error": out.stderr[-300:]}
+
+
+def run_solve_child(dtype, size, budget_s, platform, fresh=False):
     """Production-mode solve A/B at this dtype (bench.py's solve child:
     rtol=1e-5 time-to-tolerance, plain vs block-Jacobi, on the
     strength=4 ill-conditioned panel). Served from bench.py's
     same-config child cache when one exists - the cache key carries
     dtype and a kernel-source hash, so a cached row is a valid
-    same-chip measurement of the same code."""
+    same-chip measurement of the same code. --fresh bypasses the cache
+    (and the live child's completion overwrites it)."""
     sys.path.insert(0, REPO)
     import bench as _bench
 
-    saved = {k: os.environ.get(k)
-             for k in ("SGVAMP_BENCH_LD_DTYPE", "SGVAMP_BENCH_SIZE")}
-    os.environ["SGVAMP_BENCH_LD_DTYPE"] = dtype
-    os.environ["SGVAMP_BENCH_SIZE"] = size
+    saved = _with_bench_env(dtype, size)
     try:
         cache = _bench._child_cache_path("solve")
     finally:
-        for k, v in saved.items():
-            if v is None:
-                os.environ.pop(k, None)
-            else:
-                os.environ[k] = v
-    if os.path.exists(cache):
+        _restore_env(saved)
+    if not fresh and os.path.exists(cache):
         try:
             with open(cache) as f:
                 row = json.load(f)
@@ -115,39 +154,11 @@ def run_solve_child(dtype, size, budget_s, platform):
             return row
         except (OSError, ValueError):
             pass
-    env = dict(os.environ)
-    env.update(SGVAMP_BENCH_CHILD="solve", SGVAMP_BENCH_SIZE=size,
-               SGVAMP_BENCH_LD_DTYPE=dtype)
-    if platform:
-        env["SGVAMP_BENCH_PLATFORM"] = platform
-    try:
-        out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
-                             env=env, capture_output=True, text=True,
-                             timeout=budget_s, cwd=REPO)
-    except subprocess.TimeoutExpired:
-        return {"error": "budget exceeded"}
-    for line in out.stdout.splitlines():
-        if line.startswith("{"):
-            return json.loads(line)
-    return {"error": out.stderr[-300:]}
+    return run_bench_child("solve", dtype, size, budget_s, platform)
 
 
 def run_step_child(dtype, size, budget_s, platform):
-    env = dict(os.environ)
-    env.update(SGVAMP_BENCH_CHILD="step", SGVAMP_BENCH_SIZE=size,
-               SGVAMP_BENCH_LD_DTYPE=dtype)
-    if platform:
-        env["SGVAMP_BENCH_PLATFORM"] = platform
-    try:
-        out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
-                             env=env, capture_output=True, text=True,
-                             timeout=budget_s, cwd=REPO)
-    except subprocess.TimeoutExpired:
-        return {"error": "budget exceeded"}
-    for line in out.stdout.splitlines():
-        if line.startswith("{"):
-            return json.loads(line)
-    return {"error": out.stderr[-300:]}
+    return run_bench_child("step", dtype, size, budget_s, platform)
 
 
 def main():
@@ -171,6 +182,7 @@ def main():
     bandwidth = 128 if args.size == "small" else args.bandwidth
     cg_maxit = CG_MAXIT[args.size]
     doc = {"M": M, "bandwidth": bandwidth, "cg_maxit": cg_maxit,
+           "passes": args.passes,
            "ld_passes_per_iter": cg_maxit + 2,
            "protocol": {
                "ms_per_pass": "chained in-device matvec (n vs 2n fori_loop "
@@ -191,7 +203,11 @@ def main():
         try:
             with open(args.out) as f:
                 old = json.load(f)
-            if old.get("M") == M:
+            # resume only cells measured under the SAME config: a rerun
+            # with a different bandwidth/passes must not report old cells
+            # under the new header
+            if (old.get("M"), old.get("bandwidth"), old.get("passes")) == \
+                    (M, bandwidth, args.passes):
                 doc["matvec_grid"] = [r for r in old.get("matvec_grid", [])
                                       if "error" not in r or "unsupported" in r]
                 doc["step_by_dtype"] = {
@@ -274,7 +290,7 @@ def main():
             print(f"[ab] {time.strftime('%H:%M:%S')} solve child {dtype}",
                   file=sys.stderr, flush=True)
             row = run_solve_child(dtype, args.size, args.budget_s,
-                                  args.platform)
+                                  args.platform, fresh=args.fresh)
             row["B"] = _bench_default_B(args.size)
             doc["solve_by_dtype"][dtype] = row
             save()
