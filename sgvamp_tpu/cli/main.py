@@ -510,76 +510,111 @@ def main(argv: Optional[List[str]] = None) -> int:
     ts = time.time()
     with device_trace(args.profile_dir), timers.phase("infer"):
         if bool(int(args.fused)):
-            from sgvamp_tpu.core.vamp import StopMonitor
+            from sgvamp_tpu.core.vamp import StopMonitor, StopState
             from sgvamp_tpu.parallel.multihost import fetch_global
 
+            # Armed stop criteria run IN-SCAN (StopState carried on device;
+            # iterations past the stop take a lax.cond no-op branch, so the
+            # fused run stops paying at the operating point — same
+            # trajectory and selected iterate as the host loop). Unarmed
+            # runs keep the plain scan + a host monitor that only tracks
+            # the best iterate.
+            armed = stop_tol > 0 or stop_drop > 0
             monitor = StopMonitor(tol=stop_tol, gam1_drop=stop_drop)
 
             def feed_monitor(aux, it0_chunk, n):
-                """Evaluate the stop criteria on a fused chunk's stacked
-                aux (host-side, between scans)."""
+                """Track the best iterate over a fused chunk's stacked aux
+                (host-side, between scans; unarmed path only)."""
                 for i in range(n):
-                    reason = monitor.update(
-                        it0_chunk + i, np.asarray(aux.xhat1[i])[:M],
-                        np.asarray(aux.gam1[i]))
-                    if reason:
-                        return it0_chunk + i, reason
-                return None, None
+                    monitor.update(it0_chunk + i, np.asarray(aux.xhat1[i])[:M],
+                                   np.asarray(aux.gam1[i]))
 
-            def run_chunk(n, st):
+            def fetch_tree(t):
+                if jax.process_count() > 1:
+                    t = jax.tree_util.tree_map(fetch_global, t)
+                return t
+
+            def run_chunk(n, st, mon_st):
                 if st is None:
                     st = engine.init_state(args.seed)
-                st, aux = engine.run_scan(n, state=st)
-                if jax.process_count() > 1:
-                    aux = jax.tree_util.tree_map(fetch_global, aux)
-                return st, aux
+                if armed:
+                    st, aux, mon_st = engine.run_scan_stoppable(
+                        n, stop_tol=stop_tol, stop_gam1_drop=stop_drop,
+                        state=st, stop_state=mon_st)
+                else:
+                    st, aux = engine.run_scan(n, state=st)
+                return st, fetch_tree(aux), mon_st
+
+            mon_st = None
+            ran_total = 0
+
+            def finish_chunk(aux, n):
+                """Rows of this chunk that actually executed (in-scan stop
+                skips the rest); trims aux so nothing past the stop is
+                written to disk or checkpointed."""
+                nonlocal ran_total
+                n_valid = n
+                if armed:
+                    n_valid = int(mon_st.n_ran) - ran_total
+                    ran_total += n_valid
+                if n_valid < n:
+                    aux = jax.tree_util.tree_map(lambda x: x[:n_valid], aux)
+                return aux, n_valid
 
             if ckpt is not None:
                 # Chunked fused checkpointing: lax.scan chunks of
                 # --checkpoint-every iterations with a checkpoint (and an
                 # output flush) between chunks. The trajectory is identical
                 # to one long scan - the state (incl. the PRNG key) carries
-                # across chunks.
+                # across chunks, and so does the on-device stop monitor.
                 every = max(1, int(args.checkpoint_every))
                 st = state if state is not None else engine.init_state(args.seed)
                 history = {"xhat1": [], "alignment": [], "l2": []}
                 it = start_it
                 while it < iterations:
                     n = min(every, iterations - it)
-                    st, aux = run_chunk(n, st)
-                    if writer is not None:
+                    st, aux, mon_st = run_chunk(n, st, mon_st)
+                    aux, n_valid = finish_chunk(aux, n)
+                    if writer is not None and n_valid:
                         h = engine.write_scan_outputs(aux, writer, Nt=Nt,
                                                       x0=x0, M_out=M, it0=it)
                         for key in history:
                             history[key].extend(h.get(key, []))
-                    else:
+                    elif n_valid:
                         history["xhat1"].extend(
-                            np.asarray(aux.xhat1[i])[:M] for i in range(n))
-                    ckpt.save(st, it + n)
-                    it += n
-                    stop_it, reason = feed_monitor(aux, it - n, n)
-                    if reason is not None:
-                        history["stopped_at"] = stop_it
-                        history["stop_reason"] = reason
-                        break
+                            np.asarray(aux.xhat1[i])[:M]
+                            for i in range(n_valid))
+                    ckpt.save(st, it + n_valid)
+                    it += n_valid
+                    if armed:
+                        if bool(mon_st.done):
+                            break
+                    else:
+                        feed_monitor(aux, it - n_valid, n_valid)
             else:
-                final_state, aux = run_chunk(iterations, None)
+                final_state, aux, mon_st = run_chunk(iterations, None, None)
+                aux, n_valid = finish_chunk(aux, iterations)
                 if writer is not None:
                     history = engine.write_scan_outputs(aux, writer, Nt=Nt,
                                                         x0=x0, M_out=M)
                 else:
                     history = {"xhat1": [np.asarray(aux.xhat1[i])[:M]
-                                         for i in range(iterations)]}
-                # one fused scan cannot stop mid-program; evaluate the
-                # criteria post-hoc so the run still reports where it
-                # should have stopped and which iterate is the deliverable
-                stop_it, reason = feed_monitor(aux, 0, iterations)
-                if reason is not None:
-                    history["stopped_at"] = stop_it
-                    history["stop_reason"] = reason
-                    history["stop_posthoc"] = True  # all iterations DID run
-            history["best_it"] = monitor.best_it
-            history["best_xhat1"] = monitor.best_xhat1
+                                         for i in range(n_valid)]}
+                if not armed:
+                    feed_monitor(aux, 0, n_valid)
+            if armed:
+                mon_st = fetch_tree(mon_st)
+                if bool(mon_st.done):
+                    history["stopped_at"] = int(mon_st.stopped_at)
+                    history["stop_reason"] = StopState.REASONS[
+                        int(mon_st.reason)]
+                best_it = int(mon_st.best_it)
+                history["best_it"] = best_it
+                history["best_xhat1"] = (np.asarray(mon_st.best_xhat1)
+                                         if best_it >= 0 else None)
+            else:
+                history["best_it"] = monitor.best_it
+                history["best_xhat1"] = monitor.best_xhat1
         else:
             cb = None
             if ckpt is not None:

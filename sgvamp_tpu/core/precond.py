@@ -32,7 +32,7 @@ from jax import Array
 
 
 def block_jacobi_inverse(op, gamw: Array, gam2: Array, sub_block: int = 0,
-                         dtype=jnp.float32) -> Array:
+                         dtype=jnp.float32, setup_chunk: int = 2048) -> Array:
     """Inverse diagonal P x P blocks of A = gamw * Rused + gam2 * I.
 
     Args:
@@ -45,6 +45,13 @@ def block_jacobi_inverse(op, gamw: Array, gam2: Array, sub_block: int = 0,
       dtype: storage dtype of the inverse blocks (bfloat16 halves apply
         traffic; the preconditioner only steers CG, so low precision is
         safe - A itself stays exact).
+      setup_chunk: cap on how many P x P shift+invert problems run per
+        lax.map step. The K*M/P inversions are independent; one batched
+        jnp.linalg.inv over all of them peaks at ~14 GB of LU temporaries
+        at the K=8 x M=1M ceiling (TPU tiling pads 64-wide LU panels 2x)
+        and OOMs a 16 GB chip at compile time. Chunking bounds the temp
+        to O(setup_chunk * P^2) (~32 MB at the default) while each chunk
+        still fills the MXU. 0 disables chunking (single batched inv).
 
     Returns:
       (K, M // P, P, P) inverse blocks.
@@ -62,14 +69,39 @@ def block_jacobi_inverse(op, gamw: Array, gam2: Array, sub_block: int = 0,
         D = D.reshape(K, nb * ns, P, P)
     else:
         D = D.reshape(K, nb, P, P)
+    nbp = D.shape[1]
     eye = jnp.eye(P, dtype=D.dtype)
-    A = (gamw[:, None, None, None] * D
-         + gam2[:, None, None, None] * eye[None, None])
-    Pinv = jnp.linalg.inv(A)
-    # inv of SPD is SPD; symmetrize away LU rounding asymmetry so CG's
-    # implicit M^{-1}-inner-product stays an inner product.
-    Pinv = 0.5 * (Pinv + jnp.swapaxes(Pinv, -1, -2))
-    return Pinv.astype(dtype)
+    total = K * nbp
+
+    def _shift_invert(d, w, s):
+        A = w[..., None, None] * d + s[..., None, None] * eye
+        inv = jnp.linalg.inv(A)
+        # inv of SPD is SPD; symmetrize away LU rounding asymmetry so CG's
+        # implicit M^{-1}-inner-product stays an inner product.
+        return (0.5 * (inv + jnp.swapaxes(inv, -1, -2))).astype(dtype)
+
+    if not setup_chunk or total <= setup_chunk:
+        return _shift_invert(D, gamw[:, None], gam2[:, None])
+
+    # Chunked path: flatten the (K, nbp) batch, pad to a multiple of the
+    # chunk with identity problems (w=0, s=1 -> inv(I) = I, no NaNs), and
+    # lax.map the shift+invert over chunk groups so only one chunk's LU
+    # temporaries are ever live.
+    Df = D.reshape(total, P, P)
+    gw = jnp.repeat(gamw, nbp)
+    g2 = jnp.repeat(gam2, nbp)
+    pad = (-total) % setup_chunk
+    if pad:
+        Df = jnp.concatenate(
+            [Df, jnp.broadcast_to(eye, (pad, P, P)).astype(Df.dtype)], axis=0)
+        gw = jnp.concatenate([gw, jnp.zeros((pad,), gw.dtype)])
+        g2 = jnp.concatenate([g2, jnp.ones((pad,), g2.dtype)])
+    G = Df.shape[0] // setup_chunk
+    Pinv = jax.lax.map(
+        lambda args: _shift_invert(*args),
+        (Df.reshape(G, setup_chunk, P, P),
+         gw.reshape(G, setup_chunk), g2.reshape(G, setup_chunk)))
+    return Pinv.reshape(G * setup_chunk, P, P)[:total].reshape(K, nbp, P, P)
 
 
 def apply_block_jacobi(Pinv: Array, v: Array) -> Array:

@@ -101,6 +101,75 @@ class StepAux(NamedTuple):
     mle_ok: Array       # bool: last MLE update accepted (True when unused)
 
 
+class StopState(NamedTuple):
+    """On-device mirror of StopMonitor's carry, for fused (lax.scan) runs.
+
+    Same criteria and update order as StopMonitor.update (which defines
+    the semantics; see its docstring): divergence checked before
+    convergence, best-iterate snapshot at the running gam1 peak with
+    ties updating. reason codes: 0 = none, 1 = diverging, 2 = converged.
+    """
+
+    done: Array        # bool — a criterion has fired; later scan steps no-op
+    reason: Array      # int32 code (0/1/2)
+    stopped_at: Array  # int32 iteration index, -1 when never stopped
+    prev_xhat1: Array  # (M,) previous iteration's xhat1
+    has_prev: Array    # bool — prev_xhat1 is valid
+    gam1_peak: Array   # scalar running peak of min_k gam1
+    best_it: Array     # int32, -1 before any finite iteration
+    best_xhat1: Array  # (M,) snapshot at the gam1 peak
+    n_ran: Array       # int32 — steps actually executed (not skipped)
+
+    @staticmethod
+    def create(M: int, dtype) -> "StopState":
+        return StopState(
+            done=jnp.zeros((), bool),
+            reason=jnp.zeros((), jnp.int32),
+            stopped_at=jnp.full((), -1, jnp.int32),
+            prev_xhat1=jnp.zeros((M,), dtype),
+            has_prev=jnp.zeros((), bool),
+            gam1_peak=jnp.full((), -jnp.inf, dtype),
+            best_it=jnp.full((), -1, jnp.int32),
+            best_xhat1=jnp.zeros((M,), dtype),
+            n_ran=jnp.zeros((), jnp.int32),
+        )
+
+    REASONS = {0: None, 1: "diverging", 2: "converged"}
+
+
+def stop_state_update(mon: StopState, it: Array, xhat1: Array, gam1: Array,
+                      tol: float, gam1_drop: float) -> StopState:
+    """One StopMonitor.update step on device (same order of criteria)."""
+    g = jnp.min(gam1)
+    finite = jnp.isfinite(g) & jnp.all(jnp.isfinite(xhat1))
+    take_best = finite & (g >= mon.gam1_peak)
+    gam1_peak = jnp.where(take_best, g, mon.gam1_peak)
+    best_it = jnp.where(take_best, it, mon.best_it)
+    best_xhat1 = jnp.where(take_best, xhat1, mon.best_xhat1)
+
+    diverging = jnp.where(
+        ~finite,
+        gam1_drop > 0,
+        (gam1_drop > 0) & (best_it >= 0) & (g < gam1_peak / gam1_drop),
+    )
+    denom = jnp.linalg.norm(mon.prev_xhat1) + 1e-300
+    rel = jnp.linalg.norm(xhat1 - mon.prev_xhat1) / denom
+    converged = (~diverging) & (tol > 0) & mon.has_prev & (rel < tol)
+    reason = jnp.where(diverging, 1, jnp.where(converged, 2, 0)).astype(jnp.int32)
+    fired = reason > 0
+    return StopState(
+        done=fired,
+        reason=jnp.where(fired, reason, mon.reason),
+        stopped_at=jnp.where(fired, it, mon.stopped_at).astype(jnp.int32),
+        prev_xhat1=xhat1,
+        has_prev=jnp.ones((), bool),
+        gam1_peak=gam1_peak,
+        best_it=best_it.astype(jnp.int32),
+        best_xhat1=best_xhat1,
+        n_ran=mon.n_ran + 1,
+    )
+
+
 class StopMonitor:
     """Truth-free convergence/divergence detection for the early-stopped
     gVAMP iteration (host-side; a capability the reference lacks — it runs
@@ -673,6 +742,71 @@ class VampEngine:
             return jax.lax.scan(body, s0, None, length=iterations)
 
         return scan_fn(state, self.inputs)
+
+    def run_scan_stoppable(
+        self,
+        iterations: int,
+        stop_tol: float = 0.0,
+        stop_gam1_drop: float = 0.0,
+        state: Optional[VampState] = None,
+        stop_state: Optional[StopState] = None,
+        seed: int = 0,
+    ) -> Tuple[VampState, StepAux, StopState]:
+        """Fused run with IN-SCAN early stopping.
+
+        Same single-program lax.scan as run_scan, but the scan carry also
+        holds a StopState evaluating the StopMonitor criteria on device;
+        once a criterion fires every later scan step takes a lax.cond
+        no-op branch (the CG solves, denoiser and prior update are all
+        skipped), so wall-clock scales with the stopped-at iteration, not
+        the requested count — unlike a plain fused scan, which can only
+        detect the stop post-hoc after paying for every iteration.
+
+        The PRNG key only advances on executed steps, so the trajectory —
+        including the selected iterate — is identical to the host loop's
+        (run() with the same stop thresholds). Skipped steps contribute
+        all-zero rows to the stacked aux; stop.n_ran tells the caller how
+        many leading rows are real.
+
+        stop_state threads the monitor across chunked calls (the fused
+        checkpointing path): pass the previous chunk's returned StopState
+        so gam1-peak/best-iterate tracking spans chunks.
+        """
+        if state is None:
+            state = self.init_state(seed)
+        if stop_state is None:
+            stop_state = StopState.create(state.xhat1.shape[0],
+                                          self.cfg.jnp_dtype)
+        tol, drop = float(stop_tol), float(stop_gam1_drop)
+        aux_shape = jax.eval_shape(
+            lambda s, i: vamp_step(s, i, self.cfg, None)[1],
+            state, self.inputs)
+
+        @jax.jit
+        def scan_fn(s0: VampState, mon0: StopState, inputs: VampInputs):
+            def live(args):
+                s, mon = args
+                ns, aux = vamp_step(s, inputs, self.cfg, None)
+                mon = stop_state_update(mon, s.it, aux.xhat1, aux.gam1,
+                                        tol, drop)
+                return ns, mon, aux
+
+            def dead(args):
+                s, mon = args
+                zero_aux = jax.tree_util.tree_map(
+                    lambda sd: jnp.zeros(sd.shape, sd.dtype), aux_shape)
+                return s, mon, zero_aux
+
+            def body(carry, _):
+                s, mon = carry
+                ns, mon, aux = jax.lax.cond(mon.done, dead, live, (s, mon))
+                return (ns, mon), aux
+
+            (sN, monN), aux = jax.lax.scan(body, (s0, mon0), None,
+                                           length=iterations)
+            return sN, aux, monN
+
+        return scan_fn(state, stop_state, self.inputs)
 
     def write_scan_outputs(
         self,

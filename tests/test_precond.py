@@ -89,6 +89,39 @@ def test_pcg_sub_blocks_converge(sub_block):
                                rtol=1e-4, atol=1e-7)
 
 
+@pytest.mark.parametrize("setup_chunk", [8, 3])
+def test_chunked_setup_matches_unchunked(setup_chunk):
+    """The lax.map-chunked shift+invert (the K=8 x M=1M OOM fix) returns
+    the same inverse blocks as the single batched inv, including when the
+    chunk does not divide K*nb (identity-padded tail, chunk=3)."""
+    op, band, r, _ = _problem(M=1024, bw=96, B=128)
+    gamw = jnp.asarray([40.0])
+    gam2 = jnp.asarray([1.0])
+    for sub in (64, 128):
+        full = block_jacobi_inverse(op, gamw, gam2, sub, setup_chunk=0)
+        chunked = block_jacobi_inverse(op, gamw, gam2, sub,
+                                       setup_chunk=setup_chunk)
+        assert chunked.shape == full.shape
+        np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_chunked_setup_multi_cohort_scalars():
+    """Chunking flattens the (K, nb) batch; per-cohort gamw/gam2 must stay
+    attached to their own cohort's blocks."""
+    op, band, r, _ = _problem(M=512, bw=48, B=64)
+    K = 3
+    mats = jnp.tile(op.to_dense(), (K, 1, 1)) * (1 / (1 - 0.05))
+    mats = mats - 0.05 / (1 - 0.05) * jnp.eye(op.M)[None]
+    dense = DenseLD(mats=mats, s=0.05)
+    gamw = jnp.asarray([40.0, 7.0, 120.0])
+    gam2 = jnp.asarray([1.0, 3.0, 0.2])
+    full = block_jacobi_inverse(dense, gamw, gam2, 64, setup_chunk=0)
+    chunked = block_jacobi_inverse(dense, gamw, gam2, 64, setup_chunk=5)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
+                               rtol=1e-6, atol=1e-7)
+
+
 def test_identity_precond_is_plain_cg():
     """With identity inverse blocks the preconditioned path must reproduce
     plain CG exactly (same iterations, same iterates)."""

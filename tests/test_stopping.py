@@ -154,9 +154,61 @@ def test_cli_stop_tol_host_loop(tmp_path):
     assert any(np.allclose(best_x, x) for x in per_it)
 
 
+def test_fused_stop_matches_host_loop():
+    """In-scan stopping (run_scan_stoppable): same stop iteration, same
+    selected iterate as the host loop's StopMonitor, and the aux rows past
+    the stop are all-zero (their compute was skipped by the lax.cond)."""
+    engine, x0 = _degenerate_engine()
+    host = engine.run(16, stop_gam1_drop=10.0)
+    st, aux, mon = engine.run_scan_stoppable(16, stop_gam1_drop=10.0)
+    assert bool(mon.done)
+    assert int(mon.stopped_at) == host["stopped_at"]
+    assert int(mon.best_it) == host["best_it"]
+    assert int(mon.n_ran) == host["stopped_at"] + 1
+    np.testing.assert_allclose(np.asarray(mon.best_xhat1),
+                               host["best_xhat1"], rtol=1e-6, atol=1e-8)
+    n_ran = int(mon.n_ran)
+    # executed rows mirror the host trajectory; skipped rows are zeros
+    for i in range(n_ran):
+        np.testing.assert_allclose(np.asarray(aux.xhat1[i]),
+                                   host["xhat1"][i], rtol=1e-6, atol=1e-8)
+    assert not np.any(np.asarray(aux.xhat1[n_ran:]))
+    assert not np.any(np.asarray(aux.gam1[n_ran:]))
+
+
+def test_fused_stop_chunked_threading():
+    """StopState threads across chunked scans: two 8-iteration chunks
+    reproduce one 16-iteration stoppable scan exactly."""
+    engine, _ = _degenerate_engine()
+    _, _, mon_one = engine.run_scan_stoppable(16, stop_gam1_drop=10.0)
+    st = engine.init_state(0)
+    st, aux1, mon = engine.run_scan_stoppable(8, stop_gam1_drop=10.0,
+                                              state=st)
+    st, aux2, mon = engine.run_scan_stoppable(8, stop_gam1_drop=10.0,
+                                              state=st, stop_state=mon)
+    assert int(mon.stopped_at) == int(mon_one.stopped_at)
+    assert int(mon.best_it) == int(mon_one.best_it)
+    assert int(mon.n_ran) == int(mon_one.n_ran)
+    np.testing.assert_array_equal(np.asarray(mon.best_xhat1),
+                                  np.asarray(mon_one.best_xhat1))
+
+
+def test_fused_stop_unarmed_never_fires():
+    """With both thresholds 0 the stoppable scan runs every iteration and
+    reports no stop (reference-parity fixed count)."""
+    engine, _ = _degenerate_engine(K=1, M=512)
+    _, aux, mon = engine.run_scan_stoppable(4)
+    assert not bool(mon.done) and int(mon.n_ran) == 4
+    plain_state, plain_aux = engine.run_scan(4)
+    np.testing.assert_array_equal(np.asarray(aux.xhat1),
+                                  np.asarray(plain_aux.xhat1))
+
+
 def test_cli_stop_fused_chunked(tmp_path):
-    """--stop-tol with --fused 1 + --checkpoint-dir stops between chunks:
-    output files end at (or within one chunk of) the host-loop stop."""
+    """--stop-tol with --fused 1 + --checkpoint-dir: the in-scan monitor
+    stops mid-chunk, outputs end exactly where the host loop's do, and
+    nothing past the stop iteration reaches disk (the chunk's remaining
+    iterations are skipped on device)."""
     from sgvamp_tpu.cli import main as cli_main
     from sgvamp_tpu.cli import simulate as cli_sim
 
@@ -165,16 +217,33 @@ def test_cli_stop_fused_chunked(tmp_path):
     assert cli_sim.main([
         "gen-phen", "--out", str(d / "s"), "--N", "1500", "--M", "200",
         "--h2", "0.8", "--lam", "0.1", "--seed", "0"]) == 0
+    base = ["--ld-files", str(d / "s_R.npy"), "--r-files", str(d / "s_r.npy"),
+            "--N", "1500", "--M", "200", "--iterations", "10",
+            "--s", "0.1", "--platform", "cpu", "--x64", "1", "--seed", "1",
+            "--stop-tol", "0.5"]
+    out_host = tmp_path / "host"
+    assert cli_main.main(base + ["--out-dir", str(out_host),
+                                 "--out-name", "t"]) == 0
     out = tmp_path / "out"
-    rc = cli_main.main([
-        "--ld-files", str(d / "s_R.npy"), "--r-files", str(d / "s_r.npy"),
+    rc = cli_main.main(base + [
         "--out-dir", str(out), "--out-name", "t",
-        "--N", "1500", "--M", "200", "--iterations", "10",
-        "--s", "0.1", "--platform", "cpu", "--x64", "1", "--seed", "1",
         "--fused", "1", "--checkpoint-dir", str(tmp_path / "ck"),
-        "--checkpoint-every", "2", "--stop-tol", "0.5"])
+        "--checkpoint-every", "4"])
     assert rc == 0
     import csv
-    with open(out / "t_cohort_1.csv") as f:
-        n = len(list(csv.reader(f, delimiter="\t"))) - 1
-    assert n % 2 == 0 and n < 10  # stopped at a chunk boundary, early
+
+    def rows(p):
+        with open(p / "t_cohort_1.csv") as f:
+            return list(csv.reader(f, delimiter="\t"))
+    host_rows, fused_rows = rows(out_host), rows(out)
+    assert len(fused_rows) == len(host_rows) < 11
+    assert (len(fused_rows) - 1) % 4 != 0  # genuinely mid-chunk
+    # no xhat bin exists past the stop iteration
+    n = len(fused_rows) - 1
+    assert (out / f"t_xhat_it_{n - 1}.bin").exists()
+    assert not (out / f"t_xhat_it_{n}.bin").exists()
+    # the selected-iterate file matches the host loop's
+    from sgvamp_tpu.io.writers import read_bin
+    np.testing.assert_allclose(
+        read_bin(str(out / "t_xhat_best.bin"), 200),
+        read_bin(str(out_host / "t_xhat_best.bin"), 200), rtol=1e-12)
