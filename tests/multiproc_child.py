@@ -1,14 +1,18 @@
 """Child program for tests/test_multiprocess.py: one jax.distributed
 process of a 2-process CPU run (4 virtual devices each), asserting that the
 cross-process (cohort, shard) mesh trajectory matches a single-device run
-for BOTH LD operators:
+for EVERY shipped LD operator:
 
   * BandedLD  - the block-banded einsum operator (sharding-propagation
-    collectives inserted by XLA), and
-  * SymBandedLD - the flagship pallas kernel running as a shard_map with
-    halo + mirror-spill ppermutes riding the cross-process (gloo)
-    collective backend - certifying the kernel's collectives in a genuine
-    multi-process deployment, not just on single-process virtual devices.
+    collectives inserted by XLA),
+  * SymBandedLD (f32 / int8 / packed int4) - the flagship pallas kernel
+    running as a shard_map with halo + mirror-spill ppermutes riding the
+    cross-process (gloo) collective backend - certifying the kernel's
+    collectives (including the quantization scales and packed4 leaves) in
+    a genuine multi-process deployment, not just on single-process
+    virtual devices, and
+  * BlockSparseLD - arbitrary block coordinates (gather/scatter-add
+    matvec under sharding propagation).
 
 Also asserts the writer-less aux fetch stays scalar-sized: no (K, M) leaf
 may cross DCN when nobody reads it (core/vamp.py fetch_aux_full).
@@ -42,12 +46,23 @@ def run_parity(op_name: str, mesh, nproc: int, fetched_sizes) -> None:
     N = 20000
     band, r, _ = simulate_ld_band(N, M, 64, h2=0.7, lam=0.05, rng=rng,
                                   dtype=np.float64)
-    # sym_int8: the quantized streamed kernel (per-block scales leaf) over
+    # sym_int8 / sym_int4: the quantized streamed kernels (per-block /
+    # per-row scales leaves, int4 additionally packed 2-values/byte) over
     # the same cross-process shard_map - f32 compute, parity at f32 level.
-    quant = op_name == "sym_int8"
+    # blocksparse: arbitrary block coordinates, sharding-propagation
+    # collectives over its gather/scatter-add matvec.
+    quant = op_name in ("sym_int8", "sym_int4")
     if op_name.startswith("sym"):
+        sym_dtype = {"sym": None, "sym_int8": "int8", "sym_int4": "int4"}
         op = SymBandedLD.from_band(band, block_size=B, K=K,
-                                   dtype="int8" if quant else None)
+                                   dtype=sym_dtype[op_name])
+    elif op_name == "blocksparse":
+        import scipy.sparse
+
+        from sgvamp_tpu.core.operators import BlockSparseLD
+        dense = np.asarray(BandedLD.from_band(band, block_size=B).to_dense()[0])
+        op = BlockSparseLD.from_csr(
+            [scipy.sparse.csr_matrix(dense)] * K, block_size=B)
     else:
         op = BandedLD.from_band(band, block_size=B, K=K)
     rs = np.tile(r[None], (K, 1)) * (1.0 + 0.01 * np.arange(K)[:, None])
@@ -78,7 +93,8 @@ def run_parity(op_name: str, mesh, nproc: int, fetched_sizes) -> None:
     local_engine = VampEngine(inputs, cfg, prior, gamw=5.0, gam1=1e-6)
     hist_l = local_engine.run(iters, fixed_u=u_seq)
 
-    tol, ptol = (2e-4, 1e-3) if quant else (1e-9, 1e-8)
+    tol, ptol = ((2e-3, 1e-2) if op_name == "sym_int4"
+                 else (2e-4, 1e-3) if quant else (1e-9, 1e-8))
     for it in range(iters):
         a = np.asarray(hist_s["xhat1"][it])
         b = np.asarray(hist_l["xhat1"][it])
@@ -128,7 +144,7 @@ def main() -> int:
 
     mh.fetch_global = spy_fetch
 
-    for op_name in ("banded", "sym", "sym_int8"):
+    for op_name in ("banded", "sym", "sym_int8", "sym_int4", "blocksparse"):
         run_parity(op_name, mesh, nproc, fetched_sizes)
         print(f"PARITY OK operator={op_name} process={pid}", flush=True)
 

@@ -133,6 +133,48 @@ def test_sharded_sym_kernel_matches_unsharded(mesh_shape, layout):
                                    np.asarray(ref["params"][it]), rtol=1e-9)
 
 
+@pytest.mark.parametrize("mesh_shape", [(1, 4), (2, 4)])
+def test_sharded_sym_int4_matches_unsharded(mesh_shape):
+    """The packed-int4 sym kernel (2 values/byte + per-row scales riding
+    the shard_map) under a (cohort, shard) mesh: sharded == unsharded at
+    the bf16-compute level. Closes the int4 multi-device gap — the packed4
+    + scales plumbing through the halo/mirror-spill ppermutes was
+    previously never executed by any test."""
+    from sgvamp_tpu.ops.band_kernel import SymBandedLD
+
+    rng = np.random.default_rng(11)
+    K = mesh_shape[0]
+    N, M, lam, h2 = 20000, 1024, 0.05, 0.7
+    band, r, x0 = simulate_ld_band(N, M, bandwidth=100, rng=rng,
+                                   dtype=np.float64, h2=h2, lam=lam)
+    op = SymBandedLD.from_band(band, block_size=128, K=K, dtype="int4")
+    assert op.packed, "int4 must take the packed path"
+    rs = np.tile(r[None], (K, 1)) * (1.0 + 0.01 * np.arange(K)[:, None])
+    cfg = VampConfig(prior_update="em", dtype="float32", cg_maxit=100,
+                     cg_rtol=1e-5, rho=0.5, lmmse_damp=True)
+    Nt = float(K * N)
+    prior = PriorState.create(lam, [1.0], [h2 / int(M * lam) * Nt])
+    inputs = VampInputs(op=op, r=jnp.asarray(rs, jnp.float32),
+                        a=jnp.full((K,), 1.0 / K, jnp.float32),
+                        N=jnp.full((K,), float(N), jnp.float32))
+    iters = 3
+    u_seq = (np.random.default_rng(42).integers(0, 2, size=(iters, K, M)) * 2
+             - 1).astype(np.float64)
+    ref = VampEngine(inputs, cfg, prior).run(iters, fixed_u=u_seq)
+    mesh = make_mesh(*mesh_shape)
+    sharded_inputs = shard_inputs(inputs, mesh)
+    if mesh_shape[1] > 1:
+        assert sharded_inputs.op.mesh is mesh  # shard_map path engaged
+    got = VampEngine(inputs, cfg, prior, mesh=mesh).run(iters, fixed_u=u_seq)
+    for it in range(iters):
+        a, b = np.asarray(got["xhat1"][it]), np.asarray(ref["xhat1"][it])
+        err = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-30)
+        assert err < 2e-3, f"int4 sharded parity failed at it={it}: {err:.3e}"
+        np.testing.assert_allclose(np.asarray(got["params"][it], np.float64),
+                                   np.asarray(ref["params"][it], np.float64),
+                                   rtol=1e-2)
+
+
 def test_sharded_sym_multicohort_matches_unsharded():
     """Sym kernel sharded over BOTH axes: K=2 cohorts on the cohort axis,
     block rows on the marker axis."""
