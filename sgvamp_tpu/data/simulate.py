@@ -83,17 +83,18 @@ def simulate_from_bed(
 ) -> SimData:
     """Phenotype simulation over real genotypes (reference sim_phen.py).
 
-    Requires the optional bed_reader dependency (reference
-    simulation/sim_phen.py:5); raises ImportError with guidance if absent.
+    Prefers the optional bed_reader dependency (the reference hard-imports
+    it, simulation/sim_phen.py:5); falls back to the vendored PLINK1
+    reader (data/bed.py — same A1-count orientation) so the path works
+    without extra installs.
     """
     try:
         from bed_reader import open_bed
-    except ImportError as e:  # pragma: no cover - dependency-gated
-        raise ImportError(
-            "simulate_from_bed requires the optional 'bed_reader' package"
-        ) from e
+        X = open_bed(bed_path).read()
+    except ImportError:
+        from sgvamp_tpu.data.bed import read_bed
+        X = read_bed(bed_path)
     rng = rng or np.random.default_rng()
-    X = open_bed(bed_path).read()
     N = X.shape[0]
     X = _standardize_genotypes(X)
     beta = _sparse_beta(rng, M, lam, var=h2 / int(M * lam))

@@ -161,14 +161,23 @@ def test_phase_timers():
     assert "a: " in t.report() and "2 calls" in t.report()
 
 
-def test_simulate_phen_requires_bed_reader(tmp_path):
-    """The .bed simulator is dependency-gated with a clear error
-    (reference simulation/sim_phen.py:5 hard-imports bed_reader)."""
+def test_simulate_phen_bed_reader_fallback(tmp_path):
+    """Without the optional bed_reader package the .bed simulator uses
+    the vendored PLINK1 reader (data/bed.py) instead of failing (the
+    reference hard-imports bed_reader, simulation/sim_phen.py:5). A
+    missing file still errors clearly (companion .fam/.bim lookup)."""
     from sgvamp_tpu.data.simulate import simulate_from_bed
     try:
         import bed_reader  # noqa: F401
-        pytest.skip("bed_reader installed; gating not exercised")
+        pytest.skip("bed_reader installed; fallback not exercised")
     except ImportError:
         pass
-    with pytest.raises(ImportError, match="bed_reader"):
+    with pytest.raises(FileNotFoundError, match=".fam"):
         simulate_from_bed(str(tmp_path / "x.bed"), M=10)
+    from sgvamp_tpu.data.bed import write_bed
+    rng = np.random.default_rng(0)
+    write_bed(str(tmp_path / "y.bed"),
+              rng.binomial(2, 0.4, size=(20, 10)).astype(np.float64))
+    sim = simulate_from_bed(str(tmp_path / "y.bed"), M=10, lam=0.5,
+                            rng=np.random.default_rng(1))
+    assert sim.r.shape == (10,) and np.all(np.isfinite(sim.r))
