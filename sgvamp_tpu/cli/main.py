@@ -656,12 +656,13 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     # -- post-hoc metrics (reference src/main.py:326-338) --
     if x0 is not None and history.get("xhat1"):
+        from sgvamp_tpu.core.vamp import alignment_l2
         x0v = x0.squeeze()
         aligns, l2s = [], []
         for xh in history["xhat1"]:
-            xh = xh[:M]
-            aligns.append(float(np.inner(xh, x0v) / np.linalg.norm(xh) / np.linalg.norm(x0v)))
-            l2s.append(float(np.linalg.norm(xh - x0v) / np.linalg.norm(x0v)))
+            al, l2 = alignment_l2(xh[:M], x0v)
+            aligns.append(al)
+            l2s.append(l2)
         log.info(f"Alignment(x1hat, x0) over iterations: \n {aligns}\n")
         log.info(f"L2 error(x1hat, x0) over iterations: \n {l2s}\n")
         bi = history.get("best_it", -1)

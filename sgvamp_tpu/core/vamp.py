@@ -101,6 +101,18 @@ class StepAux(NamedTuple):
     mle_ok: Array       # bool: last MLE update accepted (True when unused)
 
 
+def alignment_l2(xhat1: np.ndarray, x0v: np.ndarray) -> Tuple[float, float]:
+    """Cosine alignment and relative L2 vs the true signal (reference
+    src/sgvamp.py:379-387). Guarded: an all-zero xhat1 (e.g. the denoiser
+    returns zeros at iteration 0) reports alignment 0.0 instead of a NaN
+    metrics row."""
+    nx, n0 = np.linalg.norm(xhat1), np.linalg.norm(x0v)
+    if nx == 0.0 or n0 == 0.0:
+        return 0.0, 1.0 if n0 else 0.0
+    return (float(np.inner(xhat1, x0v) / (nx * n0)),
+            float(np.linalg.norm(xhat1 - x0v) / n0))
+
+
 class StopState(NamedTuple):
     """On-device mirror of StopMonitor's carry, for fused (lax.scan) runs.
 
@@ -668,9 +680,7 @@ class VampEngine:
                     writer.write_r1(it, r1_in[k] * scale, k + 1)
                     writer.write_params(rows[k], k)
             if x0v is not None:
-                nx, n0 = np.linalg.norm(xhat1), np.linalg.norm(x0v)
-                alignment = float(np.inner(xhat1, x0v) / (nx * n0))
-                l2 = float(np.linalg.norm(xhat1 - x0v) / n0)
+                alignment, l2 = alignment_l2(xhat1, x0v)
                 history["alignment"].append(alignment)
                 history["l2"].append(l2)
                 if writer is not None:
@@ -839,9 +849,7 @@ class VampEngine:
                     float(aux.alpha2[rel_it, k]), lam,
                 ], k)
             if x0v is not None:
-                nx, n0 = np.linalg.norm(xhat1), np.linalg.norm(x0v)
-                alignment = float(np.inner(xhat1, x0v) / (nx * n0))
-                l2 = float(np.linalg.norm(xhat1 - x0v) / n0)
+                alignment, l2 = alignment_l2(xhat1, x0v)
                 history["alignment"].append(alignment)
                 history["l2"].append(l2)
                 writer.write_metrics([it, alignment, l2])

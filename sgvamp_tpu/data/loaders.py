@@ -203,6 +203,12 @@ def csr_to_band(R, bandwidth: Optional[int] = None,
                 band, dropped = got
                 return band, int(bw), dropped
     coo = scipy.sparse.coo_matrix(R)
+    # duplicate entries SUM (scipy csr semantics, the reference's
+    # csr_matrix triplet build src/main.py:251-257) - without this the
+    # fancy scatter below would be last-write-wins and the native fast
+    # path (which goes through tocsr()) would disagree on non-canonical
+    # COO input
+    coo.sum_duplicates()
     d = coo.col - coo.row
     if bandwidth is None:
         bandwidth = int(np.abs(d).max()) if d.size else 0
@@ -291,13 +297,24 @@ def ld_files_to_bands(
 # ---------------------------------------------------------------------------
 
 def load_true_signal(path: str, M: int, N: float) -> np.ndarray:
-    """Load x0 and scale by sqrt(N) (reference src/main.py:269-285)."""
+    """Load x0 and scale by sqrt(N) (reference src/main.py:269-285).
+
+    Strict length validation: a signal file of the wrong length means a
+    mismatched panel (wrong -M, stale file), and truncating or accepting
+    it silently would corrupt every downstream alignment/L2 metric."""
     if path.endswith(".bin"):
         with open(path, "rb") as f:
-            buf = f.read(M * 8)
+            buf = f.read(M * 8 + 8)
+        if len(buf) != M * 8:
+            raise ValueError(
+                f"{path}: {len(buf) // 8}{'+' if len(buf) > M * 8 else ''} "
+                f"float64 values, expected exactly M={M}")
         x0 = np.asarray(struct.unpack(str(M) + "d", buf), dtype=np.float64)
     elif path.endswith(".npy"):
-        x0 = np.load(path).astype(np.float64).reshape(-1)[:M]
+        x0 = np.load(path).astype(np.float64).reshape(-1)
+        if x0.size != M:
+            raise ValueError(
+                f"{path}: {x0.size} values, expected exactly M={M}")
     else:
         raise ValueError(f"Unsupported true signal format: {path}")
     return x0 * np.sqrt(N)

@@ -26,13 +26,15 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
-def _build() -> Optional[str]:
-    if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
+def _build(out: str = "") -> Optional[str]:
+    out = out or _LIB
+    if (out == _LIB and os.path.exists(_LIB)
+            and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)):
         return _LIB
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _LIB]
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", out]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return _LIB
+        return out
     except (subprocess.SubprocessError, FileNotFoundError) as e:
         logger.debug(f"native ldparse build failed ({e}); using Python fallback")
         return None
@@ -53,21 +55,43 @@ def get_lib() -> Optional[ctypes.CDLL]:
         try:
             _lib = _bind(ctypes.CDLL(path))
         except (AttributeError, OSError):
-            # a stale .so with a fresh mtime (copied checkout, extracted
+            # A stale .so with a fresh mtime (copied checkout, extracted
             # archive, shipped prebuilt) lacks newer symbols: force one
-            # rebuild from source, else keep the Python fallback
-            try:
-                os.remove(path)
-            except OSError:
-                pass
-            path = _build()
+            # rebuild from source, else keep the Python fallback. The
+            # rebuild goes to a UNIQUE temp filename: the failed CDLL above
+            # may hold a dlopen handle for _LIB's pathname, and glibc
+            # resolves dlopen by pathname first — reloading the same path
+            # can return the already-mapped stale object, silently re-failing
+            # the bind. A fresh name guarantees a fresh mapping.
+            import tempfile
+
+            fd, tmp = tempfile.mkstemp(suffix=".so",
+                                       dir=os.path.dirname(_LIB))
+            os.close(fd)
+            path = _build(tmp)
             if path is None:
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
                 return None
             try:
                 _lib = _bind(ctypes.CDLL(path))
             except (AttributeError, OSError) as e:
                 logger.debug(f"native ldparse unusable ({e}); Python fallback")
                 _lib = None
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+            else:
+                # promote the good build for future processes; the current
+                # mapping tracks the inode, so the rename is safe (never
+                # overwrite a mapped .so in place)
+                try:
+                    os.replace(tmp, _LIB)
+                except OSError:
+                    pass
         return _lib
 
 

@@ -29,6 +29,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 COHORT_AXIS = "cohort"
 SHARD_AXIS = "shard"
 
+# 1-D placement convention: arrays at least this long are marker-axis
+# vectors (shard), shorter ones are per-cohort scalars (cohort). This is
+# safe because K (cohorts, = MPI ranks in the reference) is at most a few
+# hundred while production M is >= 10^5; a marker vector SHORTER than the
+# threshold merely replicates (correct, just unsharded - the small-M test
+# regime). spec_for asserts the K side of the convention.
+MARKER_VEC_MIN = 1024
+
 
 def make_mesh(
     n_cohort: int = 1,
@@ -65,8 +73,14 @@ def spec_for(shape: tuple, mesh: Mesh) -> P:
     if ndim == 0:
         return P()
     if ndim == 1:
-        # Heuristic: per-cohort scalar vectors are tiny; marker vectors large.
-        return P(SHARD_AXIS) if shape[0] >= 1024 else P(COHORT_AXIS)
+        # Per-cohort scalar vectors are tiny; marker vectors large (see
+        # MARKER_VEC_MIN). A cohort count at/over the threshold would make
+        # a (K,) vector shard over markers - fail loudly, not subtly.
+        assert mesh.shape[COHORT_AXIS] < MARKER_VEC_MIN, (
+            f"cohort axis {mesh.shape[COHORT_AXIS]} >= MARKER_VEC_MIN "
+            f"{MARKER_VEC_MIN}: the 1-D placement convention cannot tell "
+            f"(K,) from (M,) vectors at this scale")
+        return P(SHARD_AXIS) if shape[0] >= MARKER_VEC_MIN else P(COHORT_AXIS)
     if ndim == 2:
         return P(COHORT_AXIS, SHARD_AXIS)
     if ndim == 3:
@@ -154,7 +168,7 @@ def shard_state(state, mesh: Mesh):
             return x
         if x.ndim == 2:
             return _put(x, mesh, P(COHORT_AXIS, SHARD_AXIS))
-        if x.ndim == 1 and x.shape[0] >= 1024:
+        if x.ndim == 1 and x.shape[0] >= MARKER_VEC_MIN:
             return _put(x, mesh, P(SHARD_AXIS))
         return _put(x, mesh, P())
 

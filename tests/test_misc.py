@@ -181,3 +181,58 @@ def test_simulate_phen_bed_reader_fallback(tmp_path):
     sim = simulate_from_bed(str(tmp_path / "y.bed"), M=10, lam=0.5,
                             rng=np.random.default_rng(1))
     assert sim.r.shape == (10,) and np.all(np.isfinite(sim.r))
+
+
+def test_alignment_zero_norm_guard():
+    """An all-zero xhat1 must produce alignment 0.0, not a NaN metrics
+    row (alignment divides by ||xhat1||)."""
+    from sgvamp_tpu.core.vamp import alignment_l2
+
+    x0 = np.asarray([1.0, 2.0, 3.0])
+    al, l2 = alignment_l2(np.zeros(3), x0)
+    assert al == 0.0 and np.isfinite(l2)
+    al2, l22 = alignment_l2(x0, x0)
+    np.testing.assert_allclose([al2, l22], [1.0, 0.0], atol=1e-15)
+
+
+def test_load_true_signal_strict_length(tmp_path):
+    """Wrong-length signal files are rejected, never truncated or
+    zero-padded silently (a mismatched panel corrupts every metric)."""
+    from sgvamp_tpu.data.loaders import load_true_signal
+
+    good = np.arange(8, dtype=np.float64)
+    np.save(tmp_path / "x.npy", good)
+    got = load_true_signal(str(tmp_path / "x.npy"), 8, 4.0)
+    np.testing.assert_allclose(got, good * 2.0)
+    for bad_m in (7, 9):
+        with pytest.raises(ValueError, match="expected exactly"):
+            load_true_signal(str(tmp_path / "x.npy"), bad_m, 4.0)
+    import struct
+
+    with open(tmp_path / "x.bin", "wb") as f:
+        f.write(struct.pack("8d", *good))
+    np.testing.assert_allclose(
+        load_true_signal(str(tmp_path / "x.bin"), 8, 4.0), good * 2.0)
+    for bad_m in (7, 9):
+        with pytest.raises(ValueError, match="expected exactly"):
+            load_true_signal(str(tmp_path / "x.bin"), bad_m, 4.0)
+
+
+def test_spec_for_guards_giant_cohort_axis():
+    """The 1-D sharding convention ((K,) vs (M,) by MARKER_VEC_MIN) must
+    fail loudly if a mesh's cohort axis reaches the threshold."""
+    import jax
+
+    from sgvamp_tpu.parallel.sharding import MARKER_VEC_MIN, spec_for
+
+    class FakeMesh:
+        shape = {"cohort": MARKER_VEC_MIN, "shard": 1}
+
+    with pytest.raises(AssertionError, match="MARKER_VEC_MIN"):
+        spec_for((MARKER_VEC_MIN,), FakeMesh())
+    # normal meshes: the convention applies
+    from sgvamp_tpu.parallel.sharding import make_mesh
+
+    mesh = make_mesh(1, 1, devices=jax.devices()[:1])
+    assert spec_for((8,), mesh) == jax.sharding.PartitionSpec("cohort")
+    assert spec_for((MARKER_VEC_MIN,), mesh) == jax.sharding.PartitionSpec("shard")

@@ -217,3 +217,69 @@ def test_native_speed_sanity(tmp_path, lib_available):
 
     assert len(a) == nnz
     assert native_s < pandas_s  # typically 5-20x faster
+
+
+def test_stale_real_so_rebuilds(tmp_path, lib_available, monkeypatch):
+    """A VALID but outdated .so - one that dlopens fine and fails only
+    partway through symbol binding, leaving a live handle - must still
+    recover. The rebuild loads under a unique temp filename (glibc
+    resolves dlopen by pathname, so reloading the same path can return
+    the stale mapping) and is then promoted to the library path."""
+    import os
+    import subprocess
+    import time as _time
+
+    src = tmp_path / "old.cpp"
+    src.write_text('extern "C" void* ldparse_parse(const char*, const char*,'
+                   ' long long) { return 0; }\n')
+    stale = tmp_path / "_ldparse.so"
+    subprocess.run(["g++", "-O2", "-shared", "-fPIC", str(src),
+                    "-o", str(stale)], check=True)
+    stub_size = os.path.getsize(stale)
+    future = _time.time() + 3600
+    os.utime(stale, (future, future))  # defeats the mtime freshness check
+    monkeypatch.setattr(native, "_LIB", str(stale))
+    monkeypatch.setattr(native, "_tried", False)
+    monkeypatch.setattr(native, "_lib", None)
+    lib = native.get_lib()
+    assert lib is not None
+    assert hasattr(lib, "ldparse_band_pack_i8")  # newest symbol bound
+    # the good rebuild was promoted over the stale path for future runs
+    assert os.path.getsize(stale) != stub_size
+    monkeypatch.setattr(native, "_tried", False)
+    monkeypatch.setattr(native, "_lib", None)
+
+
+def test_csr_to_band_duplicate_entries_sum(lib_available):
+    """Non-canonical sparse input with duplicate entries: both the native
+    CSR fast path (tocsr() sums) and the COO fallback must SUM duplicates
+    (scipy csr semantics, the reference's triplet build src/main.py:
+    251-257), not last-write-wins."""
+    import scipy.sparse
+
+    from sgvamp_tpu.data import loaders
+
+    M = 8
+    rows = np.asarray([0, 1, 1, 3, 3, 3])
+    cols = np.asarray([1, 2, 2, 4, 4, 5])
+    vals = np.asarray([0.5, 0.25, 0.25, 0.1, 0.2, 0.3])
+    coo = scipy.sparse.coo_matrix((vals, (rows, cols)), shape=(M, M))
+    want = coo.tocsr().toarray()
+
+    band_native, bw, dropped = loaders.csr_to_band(coo.tocsr(),
+                                                   dtype=np.float32)
+    import os
+    os.environ["SGVAMP_NO_NATIVE"] = "1"
+    try:
+        band_py, bw2, _ = loaders.csr_to_band(coo, dtype=np.float32)
+    finally:
+        del os.environ["SGVAMP_NO_NATIVE"]
+    assert bw == bw2
+    np.testing.assert_allclose(band_py, band_native, rtol=1e-7)
+    # and both match the summed-duplicate ground truth
+    dense = np.zeros((M, M))
+    for i in range(M):
+        for d in range(-bw, bw + 1):
+            if 0 <= i + d < M:
+                dense[i, i + d] = band_py[i, bw + d]
+    np.testing.assert_allclose(dense, want, rtol=1e-7)
