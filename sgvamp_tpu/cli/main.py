@@ -67,8 +67,12 @@ def build_parser() -> argparse.ArgumentParser:
                    "footprint; int8 with per-block scales halves it again; "
                    "int4 packs two values per byte with per-row scales and "
                    "halves it once more (lossier: ~16 quantization levels "
-                   "per row) - both sym operator only; matvec still "
-                   "accumulates in float32); defaults to --dtype",
+                   "per row - screening only, CG can break down on "
+                   "ill-conditioned panels); hybrid keeps the diagonal "
+                   "blocks at full int8 precision and packs only the far "
+                   "blocks int4 (2/3 of int8's traffic, production-solve "
+                   "safe) - int8/int4/hybrid are sym operator only; matvec "
+                   "still accumulates in float32); defaults to --dtype",
                    default=None)
     g.add_argument("--mesh-cohort", help="Mesh size over the cohort axis", type=int, default=1)
     g.add_argument("--mesh-shard", help="Mesh size over the marker-shard axis", type=int, default=None)
@@ -210,19 +214,20 @@ def main(argv: Optional[List[str]] = None) -> int:
         jax.config.update("jax_enable_x64", True)
     dtype = args.dtype or ("float64" if want_x64 else "float32")
     ld_dtype = args.ld_dtype or dtype
-    if ld_dtype in ("int8", "int4") and args.operator != "sym":
+    if ld_dtype in ("int8", "int4", "hybrid") and args.operator != "sym":
         # Only the sym kernel carries dequantization scales; a plain cast
         # would truncate correlations in [-1, 1] to zero and silently
         # produce garbage.
         raise SystemExit(f"--ld-dtype {ld_dtype} requires --operator sym")
     if ld_dtype == "int4" and args.cg_rtol and args.cg_rtol <= 1e-4:
         # Measured (BENCH_AB.json solve_by_dtype): on an ill-conditioned
-        # panel rtol=1e-5 CG stalls at maxiter under int4's 16-level
-        # quantization while int8 converges - int4 is screening-quality.
+        # panel int4's 16-level quantization can make A indefinite - CG
+        # breaks down and stalls at maxiter - while int8 converges.
         log.info("WARNING: --ld-dtype int4 with --cg-rtol <= 1e-4: CG may "
                  "not reach tolerance under 16-level quantization on "
                  "ill-conditioned LD (recorded: BENCH_AB.json "
-                 "solve_by_dtype); use int8 for production solves\n")
+                 "solve_by_dtype); use --ld-dtype hybrid (int8 diagonal "
+                 "blocks, int4 far blocks) for production solves\n")
 
     import jax.numpy as jnp
 
@@ -344,7 +349,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         # int8 quantizes at block-pack time (per-block scales inside
         # from_band); the staged band arrays must stay float.
         band_dtype = np.dtype(
-            np.float32 if ld_dtype in ("int8", "int4") else ld_dtype)
+            np.float32 if ld_dtype in ("int8", "int4", "hybrid") else ld_dtype)
         if all_ld_tables:
             bands, rs_list, bw, dropped = loaders.ld_files_to_bands(
                 ld_paths, rs, panel, args.bandwidth, dtype=band_dtype)
@@ -372,7 +377,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             scales = (jnp.concatenate([o.scales for o in ops], axis=0)
                       if ops[0].scales is not None else None)
             op = SymBandedLD(upper=jnp.concatenate([o.upper for o in ops], axis=0),
-                             scales=scales, s=s, packed=ops[0].packed)
+                             scales=scales, s=s, packed=ops[0].packed,
+                             hybrid=ops[0].hybrid)
         else:
             ops = [BandedLD.from_band(bands[k], block_size=B, s=s, dtype=ld_dtype)
                    for k in range(K)]
@@ -405,7 +411,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             # the large M the sym operator targets)
             from sgvamp_tpu.ops.band_kernel import SymBandedLD
             band_dtype = np.dtype(
-                np.float32 if ld_dtype in ("int8", "int4") else ld_dtype)
+                np.float32 if ld_dtype in ("int8", "int4", "hybrid") else ld_dtype)
             bands_k, dropped = [], 0
             for R in Rs:
                 band_k, _, d_k = loaders.csr_to_band(R, args.bandwidth,
@@ -428,7 +434,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             scales = (jnp.concatenate([o.scales for o in ops], axis=0)
                       if ops[0].scales is not None else None)
             op = SymBandedLD(upper=jnp.concatenate([o.upper for o in ops], axis=0),
-                             scales=scales, s=s, packed=ops[0].packed)
+                             scales=scales, s=s, packed=ops[0].packed,
+                             hybrid=ops[0].hybrid)
             Mp = ops[0].M
             pad = Mp - M
         elif args.operator == "banded":

@@ -52,6 +52,13 @@ class VampInputs:
     a: Array
     N: Array
     mask: Optional[Array] = None
+    # One-time block-Jacobi factorization cache (core/precond.py
+    # block_jacobi_eig): eigenvectors (K, M/P, P, P) and eigenvalues
+    # (K, M/P, P) of the diagonal sub-blocks of Rused. When present, each
+    # iteration's preconditioner rebuild is two batched matmuls instead of
+    # a batched LU (2.7 s -> 47 ms at the K=8 x M=1M ceiling).
+    precond_q: Optional[Array] = None
+    precond_lam: Optional[Array] = None
 
     @property
     def M_active(self) -> Array:
@@ -376,14 +383,23 @@ def vamp_step(
     precond = None
     if cfg.cg_precond_block:
         # Block-Jacobi M^{-1} rebuilt from this iteration's (gamw, gam2):
-        # one batched inverse amortized over all CG iterations. Both lane
+        # one batched rebuild amortized over all CG iterations. Both lane
         # groups (LMMSE rhs and Hutchinson probe) share per-cohort systems,
-        # so one (K, ...) inverse serves the 2K-lane fused solve.
+        # so one (K, ...) inverse serves the 2K-lane fused solve. With the
+        # engine's cached eigendecomposition the rebuild is two batched
+        # matmuls; without it (library callers using vamp_step directly)
+        # fall back to the chunked batched inverse.
         from sgvamp_tpu.core.precond import (apply_block_jacobi,
+                                             block_jacobi_from_eig,
                                              block_jacobi_inverse)
-        pinv = block_jacobi_inverse(inputs.op, gamw, gam2,
-                                    cfg.cg_precond_block,
-                                    dtype=jnp.dtype(cfg.cg_precond_dtype))
+        if inputs.precond_q is not None:
+            pinv = block_jacobi_from_eig(
+                inputs.precond_q, inputs.precond_lam, gamw, gam2,
+                dtype=jnp.dtype(cfg.cg_precond_dtype))
+        else:
+            pinv = block_jacobi_inverse(inputs.op, gamw, gam2,
+                                        cfg.cg_precond_block,
+                                        dtype=jnp.dtype(cfg.cg_precond_dtype))
         precond = lambda v: apply_block_jacobi(pinv, v)
 
     cg = cg_batched(
@@ -496,6 +512,17 @@ class VampEngine:
         self.gamw0 = gamw
         self.gam10 = gam1
         self.mesh = mesh
+        if (cfg.cg_precond_block and cfg.cg_precond_eig
+                and inputs.precond_q is None):
+            # One-time factorization of the diagonal sub-blocks; every
+            # step then rebuilds the shifted inverse with two batched
+            # matmuls (see core/precond.py block_jacobi_eig).
+            from sgvamp_tpu.core.precond import block_jacobi_eig
+            Q, lam = jax.jit(block_jacobi_eig,
+                             static_argnums=(1,))(inputs.op,
+                                                  cfg.cg_precond_block)
+            self.inputs = inputs = dataclasses.replace(
+                inputs, precond_q=Q, precond_lam=lam)
         if mesh is not None:
             from sgvamp_tpu.parallel.sharding import shard_inputs
             self.inputs = shard_inputs(self.inputs, mesh)

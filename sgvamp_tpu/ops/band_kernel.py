@@ -180,7 +180,8 @@ def _sym_band_kernel_streamed(ub_ref, xc_ref, xn_ref, sc_ref, y_ref, cout_ref,
                               cin_ref, carry_ref, *, hb: int, B: int, nb: int,
                               G: int, S: int, spill: bool,
                               quantized: bool = False,
-                              packed4: bool = False):
+                              packed4: bool = False,
+                              hybrid: bool = False):
     """Streamed flavor: x and y are chunked over HBM instead of living whole
     in VMEM, so M is unbounded (the resident kernel caps at ~600k markers).
 
@@ -215,11 +216,19 @@ def _sym_band_kernel_streamed(ub_ref, xc_ref, xn_ref, sc_ref, y_ref, cout_ref,
     block is stored with its unit diagonal STRIPPED (from_band subtracts
     I before quantizing; the kernel adds x_g back), so the per-row scale
     adapts to off-diagonal magnitude instead of being pinned at 1/7.
+
+    hybrid=True: ub has hb+2 slots of (B, B/2) int8. Slots 0,1 are the
+    d=0 block's int8 COLUMN HALVES (full 255-level precision, stripped
+    unit diagonal, per-row scales) and slot d+1 holds far diagonal d >= 1
+    packed int4 exactly as packed4. Same two-half-matmul decomposition in
+    both cases - the d=0 halves just skip the nibble unpack. Keeps
+    A = gamw*R + gam2*I SPD on ill-conditioned panels where pure int4's
+    quantization error makes it indefinite (see SymBandedLD.hybrid).
     """
     c = pl.program_id(1)
     C = pl.num_programs(1)
     acc_dt = jnp.promote_types(xc_ref.dtype, jnp.float32)
-    if quantized or packed4:
+    if quantized or packed4 or hybrid:
         acc_dt = jnp.float32
     Bh = B // 2
 
@@ -243,21 +252,33 @@ def _sym_band_kernel_streamed(ub_ref, xc_ref, xn_ref, sc_ref, y_ref, cout_ref,
     def scaled(out, g_idx, d):
         return out * sc_ref[0, g_idx, d] if quantized else out
 
-    def unpack4(g_idx, d):
+    def unpack4(g_idx, slot):
         # Sign-extend both nibbles via int32 shifts (Mosaic-safe); values
         # in [-8, 7] convert to bf16 exactly.
-        p32 = ub_ref[0, g_idx, d].astype(jnp.int32)  # (B, Bh)
+        p32 = ub_ref[0, g_idx, slot].astype(jnp.int32)  # (B, Bh)
         lo = jnp.right_shift(jnp.left_shift(p32, 28), 28)
         hi = jnp.right_shift(p32, 4)
         return lo.astype(jnp.bfloat16), hi.astype(jnp.bfloat16)
 
+    def halves(g_idx, d):
+        # (left, right) (B, Bh) bf16 column halves of diagonal d's block.
+        if hybrid and d == 0:  # int8 halves in slots 0,1 - no unpack
+            return (ub_ref[0, g_idx, 0].astype(jnp.bfloat16),
+                    ub_ref[0, g_idx, 1].astype(jnp.bfloat16))
+        return unpack4(g_idx, d + 1 if hybrid else d)
+
+    def rowscale(g_idx, d):
+        if hybrid:  # slots 0,1 share the d=0 scale; far d sits at d+1
+            return sc_ref[0, g_idx, 0 if d == 0 else d + 1]
+        return sc_ref[0, g_idx, d]
+
     def rowdot(g_idx, d, xfull):
         # y[s, p] = sum_q xfull[s, q] * U[g_idx, d][p, q]
-        if packed4:
-            lo, hi = unpack4(g_idx, d)
+        if packed4 or hybrid:
+            lo, hi = halves(g_idx, d)
             out = (jnp.dot(xfull[:, :Bh], lo.T, preferred_element_type=acc_dt)
                    + jnp.dot(xfull[:, Bh:], hi.T, preferred_element_type=acc_dt))
-            out = out * sc_ref[0, g_idx, d]  # per-row scale on the p axis
+            out = out * rowscale(g_idx, d)  # per-row scale on the p axis
             if d == 0:  # re-add the stripped unit diagonal
                 out += xfull.astype(acc_dt)
             return out
@@ -266,11 +287,11 @@ def _sym_band_kernel_streamed(ub_ref, xc_ref, xn_ref, sc_ref, y_ref, cout_ref,
 
     def mirdot(g_idx, d, xfull):
         # y[s, q] = sum_p xfull[s, p] * U[g_idx, d][p, q]   (d >= 1 only)
-        if packed4:
-            lo, hi = unpack4(g_idx, d)
+        if packed4 or hybrid:
+            lo, hi = halves(g_idx, d)
             # per-row scale rides the contraction axis: fold it into x
             xs = (xfull.astype(jnp.float32)
-                  * sc_ref[0, g_idx, d]).astype(jnp.bfloat16)
+                  * rowscale(g_idx, d)).astype(jnp.bfloat16)
             return jnp.concatenate(
                 [jnp.dot(xs, lo, preferred_element_type=acc_dt),
                  jnp.dot(xs, hi, preferred_element_type=acc_dt)], axis=-1)
@@ -449,11 +470,11 @@ def _pick_chunk_rows(nb: int, hb: int, panel_bytes_per_row: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("nb", "interpret", "rows_per_step", "spill",
-                                    "packed4"))
+                                    "packed4", "hybrid"))
 def _sym_band_matvec_streamed(ub: Array, x: Array, nb: int,
                               interpret: bool = False, rows_per_step: int = 0,
                               spill: bool = False, scales: Array = None,
-                              packed4: bool = False):
+                              packed4: bool = False, hybrid: bool = False):
     """(y, carry_out) = streamed symmetric block-banded matvec.
 
     ub: (K, nb, hb+1, B, B) upper blocks; x: (K, S, Mx) where Mx = nb*B,
@@ -465,21 +486,25 @@ def _sym_band_matvec_streamed(ub: Array, x: Array, nb: int,
     packed4: ub is (K, nb, hb+1, B, B//2) int8 holding two int4 values per
     byte (contiguous-halves packing) and scales is (K, nb, hb+1, B)
     per-row (see from_band dtype="int4").
+    hybrid: ub is (K, nb, hb+2, B, B//2) int8 - slots 0,1 the d=0 block's
+    int8 column halves, slots d+1 the far blocks packed int4; scales is
+    (K, nb, hb+2, B) per-row (see from_band dtype="hybrid").
     """
-    K, nb_u, hbp1, B, Bp = ub.shape
-    if packed4:
+    K, nb_u, nslot, B, Bp = ub.shape
+    if packed4 or hybrid:
         B = 2 * Bp
     assert nb_u == nb
-    hb = hbp1 - 1
+    hb = nslot - 2 if hybrid else nslot - 1
     S = x.shape[1]
-    quantized = ub.dtype == jnp.int8 and not packed4
-    out_dt = (jnp.float32 if quantized or packed4
+    quantized = ub.dtype == jnp.int8 and not packed4 and not hybrid
+    out_dt = (jnp.float32 if quantized or packed4 or hybrid
               else jnp.promote_types(x.dtype, jnp.float32))
     if scales is None:
-        assert not (quantized or packed4), "quantized blocks need scales"
-        scales = jnp.ones((K, nb, hbp1), jnp.float32)
+        assert not (quantized or packed4 or hybrid), \
+            "quantized blocks need scales"
+        scales = jnp.ones((K, nb, nslot), jnp.float32)
     hbB = max(hb, 1) * B
-    panel_row = hbp1 * B * Bp * ub.dtype.itemsize
+    panel_row = nslot * B * Bp * ub.dtype.itemsize
     stream_row = S * B * (3 * x.dtype.itemsize + jnp.dtype(out_dt).itemsize)
     G = rows_per_step or _pick_chunk_rows(nb, hb, panel_row, stream_row)
     if nb % G or G < hb:
@@ -490,17 +515,17 @@ def _sym_band_matvec_streamed(ub: Array, x: Array, nb: int,
         raise ValueError("spill=True needs x halo-extended to (nb + G) * B")
     kernel = functools.partial(_sym_band_kernel_streamed, hb=hb, B=B, nb=nb,
                                G=G, S=S, spill=spill, quantized=quantized,
-                               packed4=packed4)
-    sc_spec = (pl.BlockSpec((1, G, hbp1, B), lambda k, c: (k, c, 0, 0),
+                               packed4=packed4, hybrid=hybrid)
+    sc_spec = (pl.BlockSpec((1, G, nslot, B), lambda k, c: (k, c, 0, 0),
                             memory_space=pltpu.VMEM)
-               if packed4 else
-               pl.BlockSpec((1, G, hbp1), lambda k, c: (k, c, 0),
+               if packed4 or hybrid else
+               pl.BlockSpec((1, G, nslot), lambda k, c: (k, c, 0),
                             memory_space=pltpu.VMEM))
     return pl.pallas_call(
         kernel,
         grid=(K, C),
         in_specs=[
-            pl.BlockSpec((1, G, hbp1, B, Bp), lambda k, c: (k, c, 0, 0, 0),
+            pl.BlockSpec((1, G, nslot, B, Bp), lambda k, c: (k, c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, S, G * B), lambda k, c: (k, 0, c),
                          memory_space=pltpu.VMEM),
@@ -525,7 +550,7 @@ def _sym_band_matvec_streamed(ub: Array, x: Array, nb: int,
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * K * nb * hbp1 * B * B * S,
+            flops=2 * 2 * K * nb * (hb + 1) * B * B * S,
             bytes_accessed=(ub.size * ub.dtype.itemsize
                             + 2 * x.size * x.dtype.itemsize
                             + K * S * nb * B * jnp.dtype(out_dt).itemsize),
@@ -616,13 +641,28 @@ class SymBandedLD:
     # quantization q = round(U/scale), scale = max|U|/127 - halves LD HBM
     # traffic vs bf16; supported by the streamed diag kernel).
     # For dtype="int4" (packed=True) scales are PER ROW: (K, nb, hb+1, B).
+    # For dtype="hybrid" scales are (K, nb, hb+2, B) per row.
     scales: Array = None
     # int4 packing: upper is (K, nb, hb+1, B, B//2) int8, two 4-bit values
-    # per byte packed along the column axis as contiguous halves (low
-    # nibble = column j, high nibble = column j + B/2), per-row scales,
-    # unit diagonal of the d=0 block stripped (the kernel re-adds x) -
-    # quarters LD HBM traffic vs bf16 storage.
+    # per byte packed along the block's column axis as contiguous halves
+    # (low nibble = column j, high nibble = column j + B/2), per-row
+    # scales, unit diagonal of the d=0 block stripped (the kernel re-adds
+    # x) - quarters LD HBM traffic vs bf16 storage.
     packed: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    # hybrid int8/int4 storage (dtype="hybrid"): upper is
+    # (K, nb, hb+2, B, B//2) int8. Slots 0 and 1 hold the d=0 diagonal
+    # block at FULL int8 precision as contiguous column halves (slot 0 =
+    # columns [0, B/2), slot 1 = columns [B/2, B)), unit diagonal
+    # stripped, per-row scales; slots d+1 for d >= 1 hold the far blocks
+    # packed int4 exactly like packed=True. Same 2-values-per-byte HBM
+    # traffic as int4 on the far blocks, but the conditioning-critical
+    # diagonal block keeps 255 levels: measured on the ill-conditioned
+    # strength-4 panel, pure int4 makes A = gamw*R + gam2*I INDEFINITE
+    # (eigmin -0.66 at the bench geometry; CG breakdown, the
+    # BENCH_AB.json solve_by_dtype failure) while hybrid stays SPD
+    # (eigmin 0.43) - production solves converge at 2/3 of int8's LD
+    # traffic.
+    hybrid: bool = dataclasses.field(default=False, metadata=dict(static=True))
     s: float = dataclasses.field(default=0.0, metadata=dict(static=True))
     rows_per_step: int = dataclasses.field(default=0, metadata=dict(static=True))
     window: bool = dataclasses.field(default=False, metadata=dict(static=True))
@@ -651,11 +691,15 @@ class SymBandedLD:
     def hb(self) -> int:
         if self.layout == "slab":
             return self.upper.shape[2] // self.upper.shape[3] - 1
+        if self.hybrid:
+            return self.upper.shape[2] - 2  # slots 0,1 both hold d=0
         return self.upper.shape[2] - 1
 
     @property
     def B(self) -> int:
-        return self.upper.shape[-1] * 2 if self.packed else self.upper.shape[-1]
+        if self.packed or self.hybrid:
+            return self.upper.shape[-1] * 2
+        return self.upper.shape[-1]
 
     @property
     def M(self) -> int:
@@ -678,8 +722,10 @@ class SymBandedLD:
 
     @property
     def quantized(self) -> bool:
-        """int8 per-block quantized storage (int4 is `packed` instead)."""
-        return self.upper.dtype == jnp.int8 and not self.packed
+        """int8 per-block quantized storage (int4 is `packed` and the
+        int8/int4 mix is `hybrid` instead)."""
+        return (self.upper.dtype == jnp.int8 and not self.packed
+                and not self.hybrid)
 
     def diag_blocks(self) -> Array:
         """(K, nb, B, B) regularized diagonal blocks of Rused (for the
@@ -690,7 +736,13 @@ class SymBandedLD:
             D = jnp.swapaxes(self.upper[:, :, :self.B, :], -1, -2)
         else:
             D = self.upper[:, :, 0]
-        if self.packed:
+        if self.hybrid:
+            # slots 0,1 = int8 column halves of the (diag-stripped) d=0 block
+            D = jnp.concatenate([self.upper[:, :, 0], self.upper[:, :, 1]],
+                                axis=-1).astype(jnp.float32)
+            D = D * self.scales[:, :, 0, :, None]  # per-row (p axis)
+            D = D + jnp.eye(self.B, dtype=D.dtype)
+        elif self.packed:
             D = _unpack_int4(D).astype(jnp.float32)
             D = D * self.scales[:, :, 0, :, None]  # per-row (p axis)
             D = D + jnp.eye(self.B, dtype=D.dtype)  # stripped unit diagonal
@@ -709,7 +761,7 @@ class SymBandedLD:
         interpret = jax.default_backend() != "tpu"
         xs = x.reshape(S, K, self.M).transpose(1, 0, 2)  # (K, S, M)
         # int8/int4 blocks dequantize to bf16 in-kernel; x rides in bf16 too.
-        comp_dt = (jnp.bfloat16 if self.quantized or self.packed
+        comp_dt = (jnp.bfloat16 if self.quantized or self.packed or self.hybrid
                    else self.upper.dtype)
         xs = xs.astype(comp_dt)
         if self.mesh is not None:
@@ -730,14 +782,14 @@ class SymBandedLD:
             y, _ = _sym_band_matvec_streamed(
                 self.upper, xs, self.nb, interpret=interpret,
                 rows_per_step=self.rows_per_step, scales=self.scales,
-                packed4=self.packed)
+                packed4=self.packed, hybrid=self.hybrid)
         y = y.transpose(1, 0, 2).reshape(x.shape).astype(x.dtype)
         if self.s != 0.0:
             y = (1.0 - self.s) * y + self.s * x
         return y
 
     def _use_resident(self, S: int, x_itemsize: int) -> bool:
-        if self.quantized or self.packed:
+        if self.quantized or self.packed or self.hybrid:
             if self.mode == "resident":
                 raise ValueError(
                     "quantized SymBandedLD has no resident kernel "
@@ -786,6 +838,7 @@ class SymBandedLD:
         slab = self.layout == "slab"
 
         packed = self.packed
+        hybrid = self.hybrid
 
         def local_fn(ub_l, x_l, sc_l):
             K_l, S, M_l = x_l.shape
@@ -804,7 +857,7 @@ class SymBandedLD:
             else:
                 y_l, spill = _sym_band_matvec_streamed(
                     ub_l, x_ext, nb_l, interpret=interpret, rows_per_step=G,
-                    spill=True, scales=sc_l, packed4=packed)
+                    spill=True, scales=sc_l, packed4=packed, hybrid=hybrid)
             incoming = jax.lax.ppermute(spill, SHARD_AXIS, left_to_right)
             return y_l.at[:, :, :hbB].add(incoming)
 
@@ -814,7 +867,8 @@ class SymBandedLD:
         scales = self.scales
         if scales is None:
             scales = jnp.ones((self.K, nb, hb + 1), jnp.float32)
-        sc_spec = (P(COHORT_AXIS, SHARD_AXIS, None, None) if packed
+        sc_spec = (P(COHORT_AXIS, SHARD_AXIS, None, None)
+                   if packed or hybrid
                    else P(COHORT_AXIS, SHARD_AXIS, None))
         return shard_map(
             local_fn, mesh=mesh,
@@ -834,7 +888,8 @@ class SymBandedLD:
         band = np.asarray(band)
         quantize = dtype in ("int8", np.int8, jnp.int8)
         quantize4 = dtype == "int4"
-        if (quantize or quantize4) and layout == "slab":
+        quantizeh = dtype == "hybrid"
+        if (quantize or quantize4 or quantizeh) and layout == "slab":
             raise ValueError("quantization supports the diag layout only")
         M, nd_full = band.shape
         bw = (nd_full - 1) // 2
@@ -865,7 +920,7 @@ class SymBandedLD:
         nb = M // B
         hb = -(-bw // B)
         band_r = band.reshape(nb, B, nd_full)
-        out_dtype = (np.float32 if quantize or quantize4
+        out_dtype = (np.float32 if quantize or quantize4 or quantizeh
                      else (dtype or band.dtype))
         upper = np.zeros((nb, hb + 1, B, B), dtype=out_dtype)
         p = np.arange(B)[:, None]
@@ -920,6 +975,34 @@ class SymBandedLD:
             hi = ((q[..., B // 2:] & 0xF) << 4).astype(np.uint8)
             upper = (lo | hi).view(np.int8)
             scales = sc.astype(np.float32)
+        elif quantizeh:
+            # hybrid: d=0 at full int8 precision (per-row scales, stripped
+            # unit diagonal, stored as contiguous column halves in slots
+            # 0,1), d>=1 packed int4 as above in slots d+1. Same
+            # bytes-per-row as int4 on the far blocks; the diagonal block
+            # costs one int8 slot-pair (= one int4 slot-pair of bytes).
+            if B % 2:
+                raise ValueError("hybrid packing needs an even block size")
+            Bh2 = B // 2
+            upper[:, 0] -= np.eye(B, dtype=upper.dtype)
+            amax = np.abs(upper).max(axis=-1)  # (nb, hb+1, B) per row
+            sc0 = amax[:, 0] / 127.0
+            safe0 = np.where(sc0 == 0.0, 1.0, sc0)
+            q0 = np.clip(np.rint(upper[:, 0] / safe0[..., None]),
+                         -127, 127).astype(np.int8)
+            scf = amax[:, 1:] / 7.0
+            safef = np.where(scf == 0.0, 1.0, scf)
+            qf = np.clip(np.rint(upper[:, 1:] / safef[..., None]),
+                         -7, 7).astype(np.int32)
+            lo = (qf[..., :Bh2] & 0xF).astype(np.uint8)
+            hi = ((qf[..., Bh2:] & 0xF) << 4).astype(np.uint8)
+            packedf = (lo | hi).view(np.int8)          # (nb, hb, B, B/2)
+            upper = np.concatenate(
+                [q0[:, None, :, :Bh2], q0[:, None, :, Bh2:], packedf],
+                axis=1)                                 # (nb, hb+2, B, B/2)
+            scales = np.concatenate(
+                [sc0[:, None], sc0[:, None], scf], axis=1
+            ).astype(np.float32)                        # (nb, hb+2, B)
         if layout == "slab":
             # T_i[d*B + q, p] = U[i, d][p, q]
             upper = upper.transpose(0, 1, 3, 2).reshape(nb, (hb + 1) * B, B)
@@ -929,13 +1012,26 @@ class SymBandedLD:
             sc_stacked = jnp.asarray(
                 scales[None] if K == 1 else np.repeat(scales[None], K, axis=0))
         return SymBandedLD(upper=jnp.asarray(stacked), scales=sc_stacked,
-                           s=s, layout=layout, packed=quantize4)
+                           s=s, layout=layout, packed=quantize4,
+                           hybrid=quantizeh)
 
     def to_dense(self) -> Array:
         """Materialize (K, M, M) - tests only."""
         K, nb, hbp1, B = self.K, self.nb, self.hb + 1, self.B
         up = np.asarray(self.upper)
-        if self.packed:
+        if self.hybrid:
+            sc = np.asarray(self.scales)
+            d0 = np.concatenate([up[:, :, 0], up[:, :, 1]],
+                                axis=-1).astype(np.float32)
+            d0 = d0 * sc[:, :, 0, :, None]
+            d0 += np.eye(B, dtype=d0.dtype)
+            p32 = up[:, :, 2:].astype(np.int32)
+            lo = (p32 << 28) >> 28
+            hi = p32 >> 4
+            far = np.concatenate([lo, hi], axis=-1).astype(np.float32)
+            far = far * sc[:, :, 2:, :, None]
+            up = np.concatenate([d0[:, :, None], far], axis=2)
+        elif self.packed:
             p32 = up.astype(np.int32)
             lo = (p32 << 28) >> 28
             hi = p32 >> 4

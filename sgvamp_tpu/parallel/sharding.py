@@ -145,6 +145,11 @@ def shard_inputs(inputs, mesh: Mesh):
     mask = inputs.mask
     if mask is not None:
         mask = _put(mask, mesh, P(SHARD_AXIS))
+    pq, plam = inputs.precond_q, inputs.precond_lam
+    if pq is not None:
+        # preconditioner factorization: block axis = marker axis
+        pq = _put(pq, mesh, P(COHORT_AXIS, SHARD_AXIS, None, None))
+        plam = _put(plam, mesh, P(COHORT_AXIS, SHARD_AXIS, None))
     return dataclasses.replace(
         inputs,
         op=op,
@@ -152,6 +157,8 @@ def shard_inputs(inputs, mesh: Mesh):
         a=_put(inputs.a, mesh, P()),
         N=_put(inputs.N, mesh, P()),
         mask=mask,
+        precond_q=pq,
+        precond_lam=plam,
     )
 
 

@@ -51,9 +51,10 @@ def run_parity(op_name: str, mesh, nproc: int, fetched_sizes) -> None:
     # the same cross-process shard_map - f32 compute, parity at f32 level.
     # blocksparse: arbitrary block coordinates, sharding-propagation
     # collectives over its gather/scatter-add matvec.
-    quant = op_name in ("sym_int8", "sym_int4")
+    quant = op_name in ("sym_int8", "sym_int4", "sym_hybrid")
     if op_name.startswith("sym"):
-        sym_dtype = {"sym": None, "sym_int8": "int8", "sym_int4": "int4"}
+        sym_dtype = {"sym": None, "sym_int8": "int8", "sym_int4": "int4",
+                     "sym_hybrid": "hybrid"}
         op = SymBandedLD.from_band(band, block_size=B, K=K,
                                    dtype=sym_dtype[op_name])
     elif op_name == "blocksparse":
@@ -93,7 +94,7 @@ def run_parity(op_name: str, mesh, nproc: int, fetched_sizes) -> None:
     local_engine = VampEngine(inputs, cfg, prior, gamw=5.0, gam1=1e-6)
     hist_l = local_engine.run(iters, fixed_u=u_seq)
 
-    tol, ptol = ((2e-3, 1e-2) if op_name == "sym_int4"
+    tol, ptol = ((2e-3, 1e-2) if op_name in ("sym_int4", "sym_hybrid")
                  else (2e-4, 1e-3) if quant else (1e-9, 1e-8))
     for it in range(iters):
         a = np.asarray(hist_s["xhat1"][it])
@@ -144,7 +145,8 @@ def main() -> int:
 
     mh.fetch_global = spy_fetch
 
-    for op_name in ("banded", "sym", "sym_int8", "sym_int4", "blocksparse"):
+    for op_name in ("banded", "sym", "sym_int8", "sym_int4",
+                    "sym_hybrid", "blocksparse"):
         run_parity(op_name, mesh, nproc, fetched_sizes)
         print(f"PARITY OK operator={op_name} process={pid}", flush=True)
 

@@ -164,6 +164,30 @@ def test_cli_ld_dtype_int4(sim_dir, tmp_path):
     assert abs(aligns["int4"] - aligns["f32"]) < 0.05
 
 
+def test_cli_ld_dtype_hybrid(sim_dir, tmp_path):
+    """--ld-dtype hybrid with --operator sym: int8 diagonal blocks + int4
+    far blocks (2/3 of int8's LD traffic, production-solve safe — pure
+    int4 can make A indefinite on ill-conditioned panels). Must track the
+    float32 run at int8-class fidelity."""
+    aligns = {}
+    for name, extra in [("f32", []), ("hybrid", ["--ld-dtype", "hybrid"])]:
+        out = tmp_path / name
+        rc = cli_main.main([
+            "--ld-files", str(sim_dir / "sim_R.npy"),
+            "--r-files", str(sim_dir / "sim_r.npy"),
+            "--true-signal-file", str(sim_dir / "sim_bet.npy"),
+            "--out-dir", str(out), "--out-name", "t",
+            "--N", "1500", "--M", "200", "--iterations", "5",
+            "--s", "0.1", "--platform", "cpu", "--dtype", "float32",
+            "--x64", "0", "--operator", "sym", "--block-size", "64",
+            "--bandwidth", "200", "--seed", "7",
+        ] + extra)
+        assert rc == 0
+        aligns[name] = float(_read_csv(out / "t_metrics.csv")[-1][1])
+    assert aligns["hybrid"] > 0.9
+    assert abs(aligns["hybrid"] - aligns["f32"]) < 0.02
+
+
 def test_cli_stability_guards(sim_dir, tmp_path):
     """--clip-alpha1/--clip-alpha2/--gam-clamp (opt-in stability guards the
     reference lacks) must not perturb a well-behaved run's trajectory:

@@ -480,3 +480,124 @@ def test_matches_banded_operator_in_engine():
         np.testing.assert_allclose(hists["pallas"]["xhat1"][it],
                                    hists["einsum"]["xhat1"][it],
                                    rtol=1e-9, atol=1e-11)
+
+
+@pytest.mark.parametrize("B,bw,G", [(128, 200, 2), (64, 96, 4)])
+def test_hybrid_matvec(B, bw, G):
+    """Hybrid int8/int4 storage (d=0 block at full int8 precision as
+    column halves in slots 0,1; far blocks packed int4): kernel matches
+    its own dequantized matrix to bf16-compute accuracy, the diagonal
+    block quantizes at int8 error, and traffic is 2/3 of int8's."""
+    rng = np.random.default_rng(12)
+    M = 768
+    band, _, _ = simulate_ld_band(10000, M, bandwidth=bw, rng=rng,
+                                  dtype=np.float64)
+    op = dataclasses.replace(
+        SymBandedLD.from_band(band, block_size=B, dtype="hybrid"),
+        rows_per_step=G)
+    assert op.hybrid and not op.packed and not op.quantized
+    assert str(op.upper.dtype) == "int8"
+    assert op.upper.shape[2] == op.hb + 2  # slots 0,1 = d=0 halves
+    assert op.upper.shape[-1] == B // 2
+    assert op.scales.shape == (1, op.nb, op.hb + 2, B)
+    int8_bytes = op.nb * (op.hb + 1) * B * B  # int8 storage of same band
+    assert op.bytes_per_pass() < (op.hb + 2) / (2 * (op.hb + 1)) * int8_bytes \
+        + op.scales.size * 4 + 1
+    x = rng.normal(size=(2, op.M))
+    y = np.asarray(op.matvec(jnp.asarray(x, jnp.float32)), np.float64)
+    Rq = np.asarray(op.to_dense(), np.float64)[0]
+    want_q = x.astype(jnp.bfloat16).astype(np.float64) @ Rq.T
+    np.testing.assert_allclose(y, want_q,
+                               atol=5e-2 * np.abs(want_q).max(), rtol=2e-2)
+    # quantization error split: diagonal block at int8 error, far at int4
+    R = band_to_dense(band)[:op.M, :op.M] if op.M <= M else None
+    Rf = np.zeros((op.M, op.M))
+    Rf[:M, :M] = band_to_dense(band)
+    Rf[range(M, op.M), range(M, op.M)] = 1.0
+    err = np.abs(Rq - Rf)
+    ii, jj = np.meshgrid(np.arange(op.M) // B, np.arange(op.M) // B,
+                         indexing="ij")
+    diag_err = err[ii == jj].max()
+    far_err = err[ii != jj].max()
+    assert diag_err < far_err / 4, (diag_err, far_err)
+
+
+def test_hybrid_rescues_int4_cg_breakdown():
+    """THE point of hybrid storage: on the ill-conditioned strength-4
+    panel (the BENCH_AB solve_by_dtype configuration) pure-int4
+    quantization makes A = 40*R + I INDEFINITE - CG breaks down and
+    production rtol=1e-5 solves stall at maxiter - while hybrid keeps A
+    SPD and CG converges."""
+    from sgvamp_tpu.core.cg import cg_batched
+
+    rng = np.random.default_rng(0)
+    M, bw, B = 1024, 256, 128  # the bench geometry (hb = 2)
+    band, r, _ = simulate_ld_band(20000, M, bw, h2=0.7, lam=0.01, rng=rng,
+                                  dtype=np.float32, strength=4.0, decay=0.97)
+    ops = {d: SymBandedLD.from_band(band, block_size=B, dtype=d)
+           for d in ("int4", "hybrid")}
+    emin = {}
+    for name, op in ops.items():
+        D = np.asarray(op.to_dense()[0], np.float64)
+        emin[name] = np.linalg.eigvalsh(40.0 * 0.5 * (D + D.T)
+                                        + np.eye(op.M))[0]
+    assert emin["int4"] < 0.0, f"panel no longer breaks int4: {emin}"
+    assert emin["hybrid"] > 0.0, f"hybrid not SPD: {emin}"
+
+    b = jnp.asarray(r, jnp.float32).reshape(1, -1)
+    conv = {}
+    for name, op in ops.items():
+        def mv(v, op=op):
+            return 40.0 * op.matvec(v) + v
+        res = cg_batched(mv, b, jnp.zeros_like(b), maxiter=200, rtol=1e-5)
+        conv[name] = (bool(res.converged[0]), int(res.iters[0]))
+    assert not conv["int4"][0], conv
+    assert conv["hybrid"][0], conv
+
+
+def test_hybrid_sharded_matches_unsharded():
+    """Hybrid through the shard_map path: slots and per-row scales shard
+    over block rows like int4's."""
+    from sgvamp_tpu.parallel.sharding import make_mesh, shard_inputs
+
+    rng = np.random.default_rng(13)
+    M, B, bw = 512, 64, 100
+    band, r, _ = simulate_ld_band(20000, M, bandwidth=bw, rng=rng,
+                                  dtype=np.float64)
+    op = SymBandedLD.from_band(band, block_size=B, dtype="hybrid")
+    x = rng.normal(size=(2, op.M)).astype(np.float32)
+    want = np.asarray(op.matvec(jnp.asarray(x)))
+    mesh = make_mesh(1, 4)
+    inputs = VampInputs(op=op, r=jnp.asarray(r, jnp.float32)[None],
+                        a=jnp.asarray([1.0]), N=jnp.asarray([20000.0]))
+    sh = shard_inputs(inputs, mesh)
+    assert sh.op.mesh is mesh
+    got = np.asarray(sh.op.matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_hybrid_engine_close_to_f32():
+    """Full VAMP trajectory with hybrid LD storage tracks f32 at int8-ish
+    fidelity (the far-block int4 error is small on benign panels)."""
+    rng = np.random.default_rng(14)
+    N, M, lam, h2, iters = 20000, 512, 0.05, 0.7, 3
+    band, r, x0 = simulate_ld_band(N, M, 96, h2=h2, lam=lam, rng=rng,
+                                   dtype=np.float32)
+    cm = max(int(M * lam), 1)
+    cfg = VampConfig(prior_update="em", dtype="float32", cg_maxit=100,
+                     cg_rtol=1e-6, rho=0.5, lmmse_damp=True)
+    prior = PriorState.create(lam, [1.0], [h2 / cm * N])
+    u = (np.random.default_rng(15).integers(0, 2, (iters, 1, M)) * 2
+         - 1).astype(np.float64)
+    hists = {}
+    for name, op in [("f32", SymBandedLD.from_band(band, block_size=128)),
+                     ("hybrid", SymBandedLD.from_band(band, block_size=128,
+                                                      dtype="hybrid"))]:
+        inputs = VampInputs(op=op, r=jnp.asarray(r, jnp.float32)[None],
+                            a=jnp.asarray([1.0], jnp.float32),
+                            N=jnp.asarray([float(N)], jnp.float32))
+        hists[name] = VampEngine(inputs, cfg, prior).run(iters, fixed_u=u)
+    for it in range(iters):
+        a, b = hists["hybrid"]["xhat1"][it], hists["f32"]["xhat1"][it]
+        err = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-30)
+        assert err < 5e-2, f"it={it}: {err:.3e}"

@@ -239,3 +239,45 @@ def test_engine_precond_sharded_matches_unsharded():
         a, b = h_shard["xhat1"][it], h_local["xhat1"][it]
         err = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-30)
         assert err < 1e-9, f"sharded mismatch at it={it}: {err:.3e}"
+
+
+def test_eig_cache_matches_direct_inverse():
+    """block_jacobi_from_eig(Q, lam) must equal block_jacobi_inverse for
+    any (gamw, gam2) - the scalars enter only through the eigenvalues."""
+    from sgvamp_tpu.core.precond import block_jacobi_eig, block_jacobi_from_eig
+
+    op, band, r, _ = _problem(M=1024, bw=96, B=128)
+    Q, lam = block_jacobi_eig(op, 64)
+    for gw, g2 in [(40.0, 1.0), (3.0, 17.0)]:
+        gamw, gam2 = jnp.asarray([gw]), jnp.asarray([g2])
+        want = block_jacobi_inverse(op, gamw, gam2, 64)
+        got = block_jacobi_from_eig(Q, lam, gamw, gam2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-7)
+    # chunked eigh path (forcing chunking incl. a padded tail)
+    Qc, lamc = block_jacobi_eig(op, 64, setup_chunk=3)
+    got = block_jacobi_from_eig(Qc, lamc, jnp.asarray([40.0]),
+                                jnp.asarray([1.0]))
+    want = block_jacobi_inverse(op, jnp.asarray([40.0]), jnp.asarray([1.0]),
+                                64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_engine_eig_cache_trajectory_matches_direct():
+    """The engine's cached-eig rebuild follows the same trajectory as the
+    in-step direct inversion (cg_precond_eig=False)."""
+    op, band, r, x0 = _problem()
+    iters = 3
+    u_seq = (np.random.default_rng(5).integers(0, 2, size=(iters, 1, op.M))
+             * 2 - 1).astype(np.float64)
+    base = dict(prior_update="em", dtype="float64", cg_maxit=800,
+                cg_rtol=1e-10, rho=0.5, lmmse_damp=True,
+                cg_precond_block=64, cg_precond_dtype="float64")
+    h_eig = _engine(op, r, VampConfig(**base)).run(iters, fixed_u=u_seq)
+    h_lu = _engine(op, r, VampConfig(**base, cg_precond_eig=False)).run(
+        iters, fixed_u=u_seq)
+    for it in range(iters):
+        a, b = h_eig["xhat1"][it], h_lu["xhat1"][it]
+        err = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-30)
+        assert err < 1e-8, f"eig/direct diverged at it={it}: {err:.3e}"
