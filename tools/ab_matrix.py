@@ -39,7 +39,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-DTYPES = ("bfloat16", "int8", "int4")
+DTYPES = ("bfloat16", "int8", "int4", "hybrid")
 BLOCKS = (128, 256)
 LAYOUTS = ("diag", "slab")
 CG_MAXIT = {"small": 20, "large": 100, "xl": 100}
