@@ -272,6 +272,19 @@ def mle_update(
     gam_init = jnp.where(prior.mle_gam_valid, prior.mle_gam, jnp.asarray(1.0, dtype))
     x0 = jnp.concatenate([omega0, gam_init[None]])
 
+    # The KKT residual's gradient term sums over all (K, M) markers, so
+    # its natural magnitude is O(M_active); convergence/acceptance
+    # thresholds must scale with it or large-M f32 runs can NEVER accept
+    # (measured at M=512k: absolute 1e-6 demands ~1e-11 relative accuracy
+    # and every update was rejected "fsolve-failed"). The reference never
+    # hits this because MINPACK hybrd converges on relative step size,
+    # not residual magnitude (its xtol semantics, mirrored by step_small
+    # below).
+    if mask is not None:
+        resid_scale = jnp.maximum(jnp.sum(mask), 1.0)
+    else:
+        resid_scale = jnp.asarray(float(r1s.shape[1]), dtype)
+
     resid_fn = lambda x: _kkt_residual(x, log_probs, a, omega0, mask)
     resid_jac_fn = lambda x: _kkt_residual_and_jac(x, log_probs, a, omega0,
                                                    mask)
@@ -333,7 +346,7 @@ def mle_update(
         step_small = accept & (s.mu <= 1e-4) & (
             jnp.linalg.norm(t * step) < 1.49012e-8 * (1.0 + jnp.linalg.norm(s.x))
         )
-        done = (resid_next < tol) | step_small
+        done = (resid_next < tol * resid_scale) | step_small
         return _NewtonState(x=x_next, resid=resid_next, mu=mu_next,
                             it=s.it + 1, done=done, failed=failed)
 
@@ -352,7 +365,7 @@ def mle_update(
     final_resid = jnp.linalg.norm(resid_fn(x))
     ok = (
         jnp.logical_not(out.failed)
-        & (final_resid < 1e-6)
+        & (final_resid < 1e-6 * resid_scale)
         & jnp.all(x[:L] > 0.0)
         & jnp.all(jnp.isfinite(x))
     )

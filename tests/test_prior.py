@@ -312,3 +312,23 @@ def test_mle_step_cost_within_2x_of_em_at_scale():
     assert t_ml < 3.0 * t_em, (
         f"MLE step {t_ml * 1e3:.1f} ms vs EM loop {t_em * 1e3:.1f} ms "
         f"(ratio {t_ml / t_em:.2f} > 3)")
+
+
+def test_mle_accepts_at_large_M_f32():
+    """The MLE acceptance gate scales with M: the KKT residual's gradient
+    term sums over markers (O(M) magnitude), so an absolute 1e-6 gate
+    demanded ~1e-11 relative accuracy at biobank M and every f32 update
+    was rejected (observed at M=512k on TPU). A realistic f32 problem at
+    M=65536 must ACCEPT and agree with EM's sparsity estimate."""
+    K, M = 1, 65536
+    rng = np.random.default_rng(0)
+    beta = np.where(rng.random(M) < 0.01, rng.normal(0, 3.0, M), 0.0)
+    r1s = jnp.asarray((beta + rng.normal(0, 0.5, M))[None], jnp.float32)
+    gam1s = jnp.asarray([4.0], jnp.float32)
+    a = jnp.asarray([1.0], jnp.float32)
+    prior = PriorState.create(0.02, [1.0], [9.0], dtype=jnp.float32)
+    new = mle_update(r1s, gam1s, a, prior)
+    assert bool(new.mle_last_ok), "large-M f32 MLE update rejected"
+    lam_em, _, _, _ = em_loop(r1s, gam1s, a, prior.lam, prior.omegas,
+                              prior.sigmas, 100)
+    np.testing.assert_allclose(float(new.lam), float(lam_em), rtol=2e-2)
