@@ -110,8 +110,8 @@ def _extract_sub_blocks(op, sub_block: int) -> Array:
     return D
 
 
-def block_jacobi_eig(op, sub_block: int = 0,
-                     setup_chunk: int = 2048) -> tuple[Array, Array]:
+def block_jacobi_eig(op, sub_block: int = 0, setup_chunk: int = 2048,
+                     dtype=None) -> tuple[Array, Array]:
     """One-time eigendecomposition of the diagonal sub-blocks: D = Q L Q^T.
 
     The per-VAMP-iteration system is A = gamw * Rused + gam2 * I with
@@ -126,15 +126,19 @@ def block_jacobi_eig(op, sub_block: int = 0,
     per matrix and dominates the whole VAMP step). The eigh itself costs
     ~21 s at that shape, amortized across all iterations of the run.
 
-    Returns (Q, lam): (K, M/P, P, P) eigenvectors, (K, M/P, P) eigenvalues.
+    Returns (Q, lam): (K, M/P, P, P) eigenvectors stored at `dtype`
+    (default: the block dtype; pass the preconditioner dtype - bf16
+    halves/quarters the cache's HBM residency at the ceiling, and the
+    preconditioner only steers CG), (K, M/P, P) f32 eigenvalues.
     """
     D = _extract_sub_blocks(op, sub_block)
     K, nbp, P, _ = D.shape
     total = K * nbp
+    qdt = jnp.dtype(dtype) if dtype is not None else D.dtype
 
     if not setup_chunk or total <= setup_chunk:
         lam, Q = jnp.linalg.eigh(D)
-        return Q, lam
+        return Q.astype(qdt), lam
 
     Df = D.reshape(total, P, P)
     pad = (-total) % setup_chunk
@@ -143,22 +147,46 @@ def block_jacobi_eig(op, sub_block: int = 0,
         Df = jnp.concatenate(
             [Df, jnp.broadcast_to(eye, (pad, P, P)).astype(Df.dtype)], axis=0)
     G = Df.shape[0] // setup_chunk
-    lam, Q = jax.lax.map(jnp.linalg.eigh,
-                         Df.reshape(G, setup_chunk, P, P))
+    # cast Q inside the map so only one chunk's full-precision
+    # eigenvectors are ever live
+    lam, Q = jax.lax.map(
+        lambda d: (lambda w_q: (w_q[0], w_q[1].astype(qdt)))(
+            jnp.linalg.eigh(d)),
+        Df.reshape(G, setup_chunk, P, P))
     lam = lam.reshape(G * setup_chunk, P)[:total].reshape(K, nbp, P)
     Q = Q.reshape(G * setup_chunk, P, P)[:total].reshape(K, nbp, P, P)
     return Q, lam
 
 
 def block_jacobi_from_eig(Q: Array, lam: Array, gamw: Array, gam2: Array,
-                          dtype=jnp.float32) -> Array:
+                          dtype=jnp.float32, chunk: int = 2048) -> Array:
     """Per-iteration inverse blocks from the cached factorization:
-    Pinv = Q diag(1/(gamw*lam + gam2)) Q^T - exact for the shifted system,
-    symmetric by construction, two batched matmuls."""
-    c = 1.0 / (gamw[:, None, None] * lam + gam2[:, None, None])
-    Pinv = jnp.einsum("knpi,kni,knqi->knpq", Q, c, Q,
-                      preferred_element_type=jnp.float32)
-    return Pinv.astype(dtype)
+    Pinv = Q diag(1/(gamw*lam + gam2)) Q^T - exact for the shifted system
+    (up to Q's storage precision), symmetric by construction, two batched
+    matmuls. Chunked with lax.map so the f32 einsum temporaries never
+    exceed O(chunk * P^2) at biobank scale."""
+    K, nbp, P, _ = Q.shape
+    c = (1.0 / (gamw[:, None, None] * lam.astype(jnp.float32)
+                + gam2[:, None, None])).astype(Q.dtype)
+    total = K * nbp
+    if not chunk or total <= chunk:
+        Pinv = jnp.einsum("knpi,kni,knqi->knpq", Q, c, Q,
+                          preferred_element_type=jnp.float32)
+        return Pinv.astype(dtype)
+    Qf = Q.reshape(total, P, P)
+    cf = c.reshape(total, P)
+    pad = (-total) % chunk
+    if pad:
+        Qf = jnp.concatenate(
+            [Qf, jnp.zeros((pad, P, P), Qf.dtype)], axis=0)
+        cf = jnp.concatenate([cf, jnp.ones((pad, P), cf.dtype)], axis=0)
+    G = Qf.shape[0] // chunk
+    Pinv = jax.lax.map(
+        lambda args: jnp.einsum("npi,ni,nqi->npq", args[0], args[1], args[0],
+                                preferred_element_type=jnp.float32
+                                ).astype(dtype),
+        (Qf.reshape(G, chunk, P, P), cf.reshape(G, chunk, P)))
+    return Pinv.reshape(G * chunk, P, P)[:total].reshape(K, nbp, P, P)
 
 
 def apply_block_jacobi(Pinv: Array, v: Array) -> Array:

@@ -518,9 +518,10 @@ class VampEngine:
             # step then rebuilds the shifted inverse with two batched
             # matmuls (see core/precond.py block_jacobi_eig).
             from sgvamp_tpu.core.precond import block_jacobi_eig
-            Q, lam = jax.jit(block_jacobi_eig,
-                             static_argnums=(1,))(inputs.op,
-                                                  cfg.cg_precond_block)
+            Q, lam = jax.jit(
+                block_jacobi_eig, static_argnums=(1, 2, 3))(
+                    inputs.op, cfg.cg_precond_block, 2048,
+                    cfg.cg_precond_dtype)
             self.inputs = inputs = dataclasses.replace(
                 inputs, precond_q=Q, precond_lam=lam)
         if mesh is not None:
