@@ -157,6 +157,12 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int8), f32p,
     ]
+    lib.ldparse_band_pack_hybrid.restype = None
+    lib.ldparse_band_pack_hybrid.argtypes = [
+        f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int8), f32p,
+    ]
     return lib
 
 
@@ -220,6 +226,31 @@ def band_pack_i8(band: np.ndarray, B: int
     upper = np.empty((nb, hb + 1, B, B), np.int8)
     scales = np.empty((nb, hb + 1), np.float32)
     lib.ldparse_band_pack_i8(
+        band.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        M_orig, nd, B, nb, hb,
+        upper.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        scales.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return upper, scales
+
+
+def band_pack_hybrid(band: np.ndarray, B: int
+                     ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Pack float32 band storage into HYBRID int8/int4 blocks
+    (nb, hb+2, B, B/2) with per-row float32 scales (nb, hb+2, B) -
+    slots 0,1 = the d=0 block's int8 column halves, slots d+1 = far
+    blocks packed int4; bit-identical to SymBandedLD.from_band's numpy
+    dtype="hybrid" path. Returns (upper, scales) or None."""
+    lib = get_lib()
+    if lib is None or band.dtype != np.float32 or B % 2:
+        return None
+    band = np.ascontiguousarray(band)
+    M_orig, nd = band.shape
+    bw = (nd - 1) // 2
+    nb = -(-M_orig // B)
+    hb = -(-bw // B)
+    upper = np.empty((nb, hb + 2, B, B // 2), np.int8)
+    scales = np.empty((nb, hb + 2, B), np.float32)
+    lib.ldparse_band_pack_hybrid(
         band.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         M_orig, nd, B, nb, hb,
         upper.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),

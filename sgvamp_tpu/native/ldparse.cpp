@@ -336,4 +336,105 @@ void ldparse_band_pack_i8(const float* band, int64_t M_orig, int64_t nd,
   }
 }
 
+// -- band -> hybrid int8/int4 blocks (SymBandedLD.from_band dtype="hybrid")
+//
+// Same one-pass structure as ldparse_band_pack_i8, but producing the
+// hybrid layout: upper is (nb, hb+2, B, B/2) int8 where slots 0,1 hold
+// the d=0 block's PER-ROW int8 column halves (unit diagonal stripped
+// first, scale = rowmax/127) and slot d+1 holds far diagonal d >= 1
+// packed int4 (per-row scale = rowmax/7, low nibble = column j, high
+// nibble = column j + B/2). scales is (nb, hb+2, B) float32 with slots
+// 0 and 1 sharing the d=0 row scales. Bit-identical to the numpy path
+// (rint = round-half-even, per-row abs-max, identical pad/edge
+// invariants; the numpy path quantizes with v/scale while this uses
+// v * (1/scale) - see the Python parity test, which asserts exact
+// equality of the packed bytes).
+
+void ldparse_band_pack_hybrid(const float* band, int64_t M_orig, int64_t nd,
+                              int64_t B, int64_t nb, int64_t hb,
+                              int8_t* upper, float* scales) {
+  const int64_t bw = (nd - 1) / 2;
+  const int64_t Bh = B / 2;
+  const int64_t nslot = hb + 2;
+  std::vector<float> blk(static_cast<size_t>(B) * B);
+  std::vector<float> rowmax(static_cast<size_t>(B));
+  for (int64_t i = 0; i < nb; ++i) {
+    for (int64_t d = 0; d <= hb; ++d) {
+      const bool past = (d >= 1 && i >= nb - d);
+      for (int64_t p = 0; p < B; ++p) {
+        float* dst = blk.data() + p * B;
+        float amax = 0.0f;
+        const int64_t row = i * B + p;
+        if (past || row >= M_orig) {
+          // past-matrix block or pad row: zeros; a pad row's unit
+          // diagonal in the d=0 block is stripped before quantization,
+          // so it contributes nothing here either
+          memset(dst, 0, static_cast<size_t>(B) * sizeof(float));
+          rowmax[p] = 0.0f;
+          continue;
+        }
+        const float* brow = band + row * nd;
+        const int64_t base = bw + d * B - p;  // col offset for q = 0
+        const int64_t q0 = base < 0 ? -base : 0;
+        const int64_t q1 = base + B > nd ? nd - base : B;
+        for (int64_t q = 0; q < q0; ++q) dst[q] = 0.0f;
+        for (int64_t q = q0; q < q1; ++q) dst[q] = brow[base + q];
+        for (int64_t q = q1 < 0 ? 0 : q1; q < B; ++q) dst[q] = 0.0f;
+        if (d == 0) dst[p] -= 1.0f;  // strip the unit diagonal
+        for (int64_t q = 0; q < B; ++q) {
+          const float a = dst[q] < 0 ? -dst[q] : dst[q];
+          if (a > amax) amax = a;
+        }
+        rowmax[p] = amax;
+      }
+      if (d == 0) {
+        // slots 0,1: int8 column halves, per-row scale = rowmax/127
+        int8_t* out0 = upper + ((i * nslot + 0) * B * Bh);
+        int8_t* out1 = upper + ((i * nslot + 1) * B * Bh);
+        float* sc0 = scales + ((i * nslot + 0) * B);
+        float* sc1 = scales + ((i * nslot + 1) * B);
+        for (int64_t p = 0; p < B; ++p) {
+          const float sc = rowmax[p] / 127.0f;
+          sc0[p] = sc;
+          sc1[p] = sc;
+          const float* src = blk.data() + p * B;
+          for (int64_t q = 0; q < Bh; ++q) {
+            float v = sc == 0.0f ? 0.0f : nearbyintf(src[q] / sc);
+            if (v > 127.0f) v = 127.0f;
+            if (v < -127.0f) v = -127.0f;
+            out0[p * Bh + q] = static_cast<int8_t>(v);
+            float w = sc == 0.0f ? 0.0f : nearbyintf(src[Bh + q] / sc);
+            if (w > 127.0f) w = 127.0f;
+            if (w < -127.0f) w = -127.0f;
+            out1[p * Bh + q] = static_cast<int8_t>(w);
+          }
+        }
+      } else {
+        // slot d+1: packed int4, per-row scale = rowmax/7
+        int8_t* out = upper + ((i * nslot + d + 1) * B * Bh);
+        float* sc_out = scales + ((i * nslot + d + 1) * B);
+        for (int64_t p = 0; p < B; ++p) {
+          const float sc = rowmax[p] / 7.0f;
+          sc_out[p] = sc;
+          const float* src = blk.data() + p * B;
+          for (int64_t q = 0; q < Bh; ++q) {
+            float lo = sc == 0.0f ? 0.0f : nearbyintf(src[q] / sc);
+            if (lo > 7.0f) lo = 7.0f;
+            if (lo < -7.0f) lo = -7.0f;
+            float hi = sc == 0.0f ? 0.0f : nearbyintf(src[Bh + q] / sc);
+            if (hi > 7.0f) hi = 7.0f;
+            if (hi < -7.0f) hi = -7.0f;
+            const uint8_t lo4 =
+                static_cast<uint8_t>(static_cast<int8_t>(lo)) & 0xF;
+            const uint8_t hi4 =
+                static_cast<uint8_t>(static_cast<int8_t>(hi)) & 0xF;
+            out[p * Bh + q] =
+                static_cast<int8_t>(lo4 | static_cast<uint8_t>(hi4 << 4));
+          }
+        }
+      }
+    }
+  }
+}
+
 }  // extern "C"

@@ -894,13 +894,14 @@ class SymBandedLD:
         M, nd_full = band.shape
         bw = (nd_full - 1) // 2
         B = block_size
-        if quantize and band.dtype == np.float32:
+        if (quantize or quantizeh) and band.dtype == np.float32:
             # native one-pass pack+quantize (bit-identical to the numpy
             # path below, parity-tested; the numpy version moves ~5 GB of
             # float temporaries - measured 16.8 s at M=512k vs ~1 s)
             from sgvamp_tpu import native as _native
 
-            got = _native.band_pack_i8(band, B)
+            got = (_native.band_pack_i8(band, B) if quantize
+                   else _native.band_pack_hybrid(band, B))
             if got is not None:
                 upper, scales = got
                 stacked = upper[None] if K == 1 else np.repeat(upper[None],
@@ -910,7 +911,7 @@ class SymBandedLD:
                     else np.repeat(scales[None], K, axis=0))
                 return SymBandedLD(upper=jnp.asarray(stacked),
                                    scales=sc_stacked, s=s, layout=layout,
-                                   packed=False)
+                                   packed=False, hybrid=quantizeh)
         pad = (-M) % B
         if pad:
             ext = np.zeros((pad, nd_full), dtype=band.dtype)
