@@ -71,7 +71,14 @@ def run_parity(op_name: str, mesh, nproc: int, fetched_sizes) -> None:
     cfg = VampConfig(prior_update="em", dtype="float32" if quant else "float64",
                      cg_maxit=100 if quant else 200,
                      cg_rtol=1e-5 if quant else 1e-10, rho=0.5,
-                     lmmse_damp=True)
+                     lmmse_damp=True,
+                     # the banded lane also exercises block-Jacobi
+                     # preconditioning across processes: the engine's
+                     # one-time eigendecomposition cache (precond_q/lam
+                     # inputs) must shard over the cross-process mesh
+                     **({"cg_precond_block": 64,
+                         "cg_precond_dtype": "float64"}
+                        if op_name == "banded" else {}))
     Nt = float(K * N)
     cm = max(int(M * 0.05), 1)
     prior = PriorState.create(0.05, [1.0], [0.7 / cm * Nt])

@@ -247,3 +247,28 @@ def test_cli_stop_fused_chunked(tmp_path):
     np.testing.assert_allclose(
         read_bin(str(out / "t_xhat_best.bin"), 200),
         read_bin(str(out_host / "t_xhat_best.bin"), 200), rtol=1e-12)
+
+
+def test_fused_stop_sharded_matches_unsharded():
+    """run_scan_stoppable under a (cohort, shard) mesh: the on-device
+    StopState (prev/best xhat1 are (M,) leaves riding sharding
+    propagation) must reproduce the unsharded stop decision and selected
+    iterate."""
+    from sgvamp_tpu.parallel.sharding import make_mesh
+
+    engine, _ = _degenerate_engine(K=2, M=1024)
+    _, _, mon_ref = engine.run_scan_stoppable(16, stop_gam1_drop=10.0)
+    assert bool(mon_ref.done)
+
+    from sgvamp_tpu.core.vamp import VampEngine
+    sharded = VampEngine(engine.inputs, engine.cfg, engine.prior,
+                         gamw=engine.gamw0, gam1=engine.gam10,
+                         mesh=make_mesh(2, 4))
+    _, _, mon = sharded.run_scan_stoppable(16, stop_gam1_drop=10.0)
+    assert int(mon.stopped_at) == int(mon_ref.stopped_at)
+    assert int(mon.best_it) == int(mon_ref.best_it)
+    assert int(mon.n_ran) == int(mon_ref.n_ran)
+    a = np.asarray(mon.best_xhat1)
+    b = np.asarray(mon_ref.best_xhat1)
+    err = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-30)
+    assert err < 1e-5, f"sharded best iterate mismatch: {err:.3e}"
