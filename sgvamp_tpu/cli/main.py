@@ -541,32 +541,32 @@ def main(argv: Optional[List[str]] = None) -> int:
                     t = jax.tree_util.tree_map(fetch_global, t)
                 return t
 
+            mon_st = None
+            ran_total = 0
+
             def run_chunk(n, st, mon_st):
+                """Returns (state, gathered aux trimmed to the rows that
+                actually executed, stop state, n_valid). The in-scan stop
+                skips iterations past the stop; their all-zero aux rows
+                are trimmed BEFORE the cross-process gather (n_ran is a
+                replicated scalar) so nothing past the stop is moved over
+                DCN, written to disk, or checkpointed."""
+                nonlocal ran_total
                 if st is None:
                     st = engine.init_state(args.seed)
                 if armed:
                     st, aux, mon_st = engine.run_scan_stoppable(
                         n, stop_tol=stop_tol, stop_gam1_drop=stop_drop,
                         state=st, stop_state=mon_st)
-                else:
-                    st, aux = engine.run_scan(n, state=st)
-                return st, fetch_tree(aux), mon_st
-
-            mon_st = None
-            ran_total = 0
-
-            def finish_chunk(aux, n):
-                """Rows of this chunk that actually executed (in-scan stop
-                skips the rest); trims aux so nothing past the stop is
-                written to disk or checkpointed."""
-                nonlocal ran_total
-                n_valid = n
-                if armed:
                     n_valid = int(mon_st.n_ran) - ran_total
                     ran_total += n_valid
-                if n_valid < n:
-                    aux = jax.tree_util.tree_map(lambda x: x[:n_valid], aux)
-                return aux, n_valid
+                    if n_valid < n:
+                        aux = jax.tree_util.tree_map(lambda x: x[:n_valid],
+                                                     aux)
+                else:
+                    st, aux = engine.run_scan(n, state=st)
+                    n_valid = n
+                return st, fetch_tree(aux), mon_st, n_valid
 
             if ckpt is not None:
                 # Chunked fused checkpointing: lax.scan chunks of
@@ -580,8 +580,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 it = start_it
                 while it < iterations:
                     n = min(every, iterations - it)
-                    st, aux, mon_st = run_chunk(n, st, mon_st)
-                    aux, n_valid = finish_chunk(aux, n)
+                    st, aux, mon_st, n_valid = run_chunk(n, st, mon_st)
                     if writer is not None and n_valid:
                         h = engine.write_scan_outputs(aux, writer, Nt=Nt,
                                                       x0=x0, M_out=M, it0=it)
@@ -599,8 +598,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                     else:
                         feed_monitor(aux, it - n_valid, n_valid)
             else:
-                final_state, aux, mon_st = run_chunk(iterations, None, None)
-                aux, n_valid = finish_chunk(aux, iterations)
+                final_state, aux, mon_st, n_valid = run_chunk(
+                    iterations, None, None)
                 if writer is not None:
                     history = engine.write_scan_outputs(aux, writer, Nt=Nt,
                                                         x0=x0, M_out=M)
@@ -609,7 +608,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                                          for i in range(n_valid)]}
                 if not armed:
                     feed_monitor(aux, 0, n_valid)
-            if armed:
+            if armed and mon_st is not None:
                 mon_st = fetch_tree(mon_st)
                 if bool(mon_st.done):
                     history["stopped_at"] = int(mon_st.stopped_at)
@@ -619,6 +618,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                 history["best_it"] = best_it
                 history["best_xhat1"] = (np.asarray(mon_st.best_xhat1)
                                          if best_it >= 0 else None)
+            elif armed:
+                # resumed run already at/past its iteration count: no
+                # chunk executed, nothing to select
+                history["best_it"] = -1
+                history["best_xhat1"] = None
             else:
                 history["best_it"] = monitor.best_it
                 history["best_xhat1"] = monitor.best_xhat1
@@ -634,17 +638,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     log.info(f"sgVAMP inference running time: {time.time() - ts:0.4f}s\n")
     log.debug(timers.report())
     if history.get("stopped_at") is not None:
-        if history.get("stop_posthoc"):
-            # a single fused scan cannot stop mid-program: every requested
-            # iteration ran; the criterion is reported post-hoc
-            log.info(f"Stop criterion met at iteration "
-                     f"{history['stopped_at']} ({history['stop_reason']}), "
-                     f"detected post-hoc (fused scan ran all iterations); "
-                     f"best iterate: iteration {history.get('best_it')}\n")
-        else:
-            log.info(f"Early stop at iteration {history['stopped_at']} "
-                     f"({history['stop_reason']}); best iterate: "
-                     f"iteration {history.get('best_it')}\n")
+        log.info(f"Early stop at iteration {history['stopped_at']} "
+                 f"({history['stop_reason']}); best iterate: "
+                 f"iteration {history.get('best_it')}\n")
     # Persist the monitor-selected iterate (xhat1 at the running gam1
     # peak) whenever a stop criterion is armed: the deliverable of an
     # early-stopped run is a file, not a metrics-CSV row the user must

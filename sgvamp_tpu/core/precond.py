@@ -71,25 +71,43 @@ def block_jacobi_inverse(op, gamw: Array, gam2: Array, sub_block: int = 0,
     if not setup_chunk or total <= setup_chunk:
         return _shift_invert(D, gamw[:, None], gam2[:, None])
 
-    # Chunked path: flatten the (K, nbp) batch, pad to a multiple of the
-    # chunk with identity problems (w=0, s=1 -> inv(I) = I, no NaNs), and
-    # lax.map the shift+invert over chunk groups so only one chunk's LU
+    # Chunked path: flatten the (K, nbp) batch and lax.map the
+    # shift+invert over chunk groups (padding with identity problems:
+    # w=0, s=1 -> inv(I) = I, no NaNs) so only one chunk's LU
     # temporaries are ever live.
-    Df = D.reshape(total, P, P)
-    gw = jnp.repeat(gamw, nbp)
-    g2 = jnp.repeat(gam2, nbp)
-    pad = (-total) % setup_chunk
-    if pad:
-        Df = jnp.concatenate(
-            [Df, jnp.broadcast_to(eye, (pad, P, P)).astype(Df.dtype)], axis=0)
-        gw = jnp.concatenate([gw, jnp.zeros((pad,), gw.dtype)])
-        g2 = jnp.concatenate([g2, jnp.ones((pad,), g2.dtype)])
-    G = Df.shape[0] // setup_chunk
-    Pinv = jax.lax.map(
+    Pinv = _chunked_map(
         lambda args: _shift_invert(*args),
-        (Df.reshape(G, setup_chunk, P, P),
-         gw.reshape(G, setup_chunk), g2.reshape(G, setup_chunk)))
-    return Pinv.reshape(G * setup_chunk, P, P)[:total].reshape(K, nbp, P, P)
+        (D.reshape(total, P, P), jnp.repeat(gamw, nbp),
+         jnp.repeat(gam2, nbp)),
+        (eye, 0.0, 1.0), setup_chunk)
+    return Pinv.reshape(K, nbp, P, P)
+
+
+def _chunked_map(fn, leaves, pad_values, chunk):
+    """lax.map `fn` over chunk-sized groups of the leaves' leading axis.
+
+    All three preconditioner stages (shift+invert, eigh, rebuild) batch
+    over K*M/P independent P x P problems whose one-shot temporaries OOM
+    the chip at biobank scale; this is their shared scaffolding. Each
+    leaf is padded to a chunk multiple with its pad_value (a scalar or an
+    array broadcastable to the leaf's trailing shape - pads are chosen so
+    fn stays NaN-free on them), fn maps a tuple of (chunk, ...) slices to
+    a pytree of (chunk, ...) outputs, and outputs are unpadded back to
+    the true length.
+    """
+    total = leaves[0].shape[0]
+    pad = (-total) % chunk
+    if pad:
+        leaves = tuple(
+            jnp.concatenate(
+                [x, jnp.broadcast_to(jnp.asarray(v, x.dtype),
+                                     (pad,) + x.shape[1:])], axis=0)
+            for x, v in zip(leaves, pad_values))
+    G = leaves[0].shape[0] // chunk
+    out = jax.lax.map(
+        fn, tuple(x.reshape(G, chunk, *x.shape[1:]) for x in leaves))
+    return jax.tree_util.tree_map(
+        lambda y: y.reshape(G * chunk, *y.shape[2:])[:total], out)
 
 
 def _extract_sub_blocks(op, sub_block: int) -> Array:
@@ -140,22 +158,14 @@ def block_jacobi_eig(op, sub_block: int = 0, setup_chunk: int = 2048,
         lam, Q = jnp.linalg.eigh(D)
         return Q.astype(qdt), lam
 
-    Df = D.reshape(total, P, P)
-    pad = (-total) % setup_chunk
-    if pad:
-        eye = jnp.eye(P, dtype=D.dtype)
-        Df = jnp.concatenate(
-            [Df, jnp.broadcast_to(eye, (pad, P, P)).astype(Df.dtype)], axis=0)
-    G = Df.shape[0] // setup_chunk
     # cast Q inside the map so only one chunk's full-precision
     # eigenvectors are ever live
-    lam, Q = jax.lax.map(
-        lambda d: (lambda w_q: (w_q[0], w_q[1].astype(qdt)))(
-            jnp.linalg.eigh(d)),
-        Df.reshape(G, setup_chunk, P, P))
-    lam = lam.reshape(G * setup_chunk, P)[:total].reshape(K, nbp, P)
-    Q = Q.reshape(G * setup_chunk, P, P)[:total].reshape(K, nbp, P, P)
-    return Q, lam
+    lam, Q = _chunked_map(
+        lambda args: (lambda w_q: (w_q[0], w_q[1].astype(qdt)))(
+            jnp.linalg.eigh(args[0])),
+        (D.reshape(total, P, P),), (jnp.eye(P, dtype=D.dtype),),
+        setup_chunk)
+    return Q.reshape(K, nbp, P, P), lam.reshape(K, nbp, P)
 
 
 def block_jacobi_from_eig(Q: Array, lam: Array, gamw: Array, gam2: Array,
@@ -173,20 +183,12 @@ def block_jacobi_from_eig(Q: Array, lam: Array, gamw: Array, gam2: Array,
         Pinv = jnp.einsum("knpi,kni,knqi->knpq", Q, c, Q,
                           preferred_element_type=jnp.float32)
         return Pinv.astype(dtype)
-    Qf = Q.reshape(total, P, P)
-    cf = c.reshape(total, P)
-    pad = (-total) % chunk
-    if pad:
-        Qf = jnp.concatenate(
-            [Qf, jnp.zeros((pad, P, P), Qf.dtype)], axis=0)
-        cf = jnp.concatenate([cf, jnp.ones((pad, P), cf.dtype)], axis=0)
-    G = Qf.shape[0] // chunk
-    Pinv = jax.lax.map(
+    Pinv = _chunked_map(
         lambda args: jnp.einsum("npi,ni,nqi->npq", args[0], args[1], args[0],
                                 preferred_element_type=jnp.float32
                                 ).astype(dtype),
-        (Qf.reshape(G, chunk, P, P), cf.reshape(G, chunk, P)))
-    return Pinv.reshape(G * chunk, P, P)[:total].reshape(K, nbp, P, P)
+        (Q.reshape(total, P, P), c.reshape(total, P)), (0.0, 1.0), chunk)
+    return Pinv.reshape(K, nbp, P, P)
 
 
 def apply_block_jacobi(Pinv: Array, v: Array) -> Array:

@@ -114,8 +114,12 @@ def alignment_l2(xhat1: np.ndarray, x0v: np.ndarray) -> Tuple[float, float]:
     returns zeros at iteration 0) reports alignment 0.0 instead of a NaN
     metrics row."""
     nx, n0 = np.linalg.norm(xhat1), np.linalg.norm(x0v)
-    if nx == 0.0 or n0 == 0.0:
-        return 0.0, 1.0 if n0 else 0.0
+    if n0 == 0.0:
+        # degenerate truth: alignment undefined -> 0; relative L2 is 0
+        # only if the estimate is also zero, else unbounded
+        return 0.0, 0.0 if nx == 0.0 else float("inf")
+    if nx == 0.0:
+        return 0.0, 1.0
     return (float(np.inner(xhat1, x0v) / (nx * n0)),
             float(np.linalg.norm(xhat1 - x0v) / n0))
 
@@ -173,7 +177,9 @@ def stop_state_update(mon: StopState, it: Array, xhat1: Array, gam1: Array,
     )
     denom = jnp.linalg.norm(mon.prev_xhat1) + 1e-300
     rel = jnp.linalg.norm(xhat1 - mon.prev_xhat1) / denom
-    converged = (~diverging) & (tol > 0) & mon.has_prev & (rel < tol)
+    # convergence is only ever evaluated on finite iterations (StopMonitor
+    # takes its `not finite` branch first and never reaches the tol check)
+    converged = (~diverging) & finite & (tol > 0) & mon.has_prev & (rel < tol)
     reason = jnp.where(diverging, 1, jnp.where(converged, 2, 0)).astype(jnp.int32)
     fired = reason > 0
     return StopState(

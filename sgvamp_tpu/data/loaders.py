@@ -193,6 +193,11 @@ def csr_to_band(R, bandwidth: Optional[int] = None,
         from sgvamp_tpu import native
 
         Rc = R.tocsr()
+        # non-canonical CSR may itself carry duplicate column indices,
+        # which scipy SUMS on use but the native one-pass writer would
+        # last-write-win; canonicalize so both paths agree (no-op for
+        # already-canonical matrices)
+        Rc.sum_duplicates()
         M = Rc.shape[0]
         bw = bandwidth
         if bw is None:

@@ -268,6 +268,17 @@ def test_csr_to_band_duplicate_entries_sum(lib_available):
 
     band_native, bw, dropped = loaders.csr_to_band(coo.tocsr(),
                                                    dtype=np.float32)
+    # NON-canonical CSR input (duplicate column indices inside a row):
+    # scipy sums these on use; the native one-pass writer must see
+    # canonicalized arrays, not last-write-win
+    import scipy.sparse as _sp
+
+    dup_csr = _sp.csr_matrix(
+        (np.asarray([0.25, 0.25, 0.5]), np.asarray([2, 2, 1]),
+         np.asarray([0, 2, 3] + [3] * (M - 2))), shape=(M, M))
+    assert not dup_csr.has_canonical_format
+    band_dup, bwd, _ = loaders.csr_to_band(dup_csr, dtype=np.float32)
+    assert band_dup[0, bwd + 2] == np.float32(0.5)  # 0.25 + 0.25 summed
     import os
     os.environ["SGVAMP_NO_NATIVE"] = "1"
     try:

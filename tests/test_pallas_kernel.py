@@ -510,7 +510,6 @@ def test_hybrid_matvec(B, bw, G):
     np.testing.assert_allclose(y, want_q,
                                atol=5e-2 * np.abs(want_q).max(), rtol=2e-2)
     # quantization error split: diagonal block at int8 error, far at int4
-    R = band_to_dense(band)[:op.M, :op.M] if op.M <= M else None
     Rf = np.zeros((op.M, op.M))
     Rf[:M, :M] = band_to_dense(band)
     Rf[range(M, op.M), range(M, op.M)] = 1.0

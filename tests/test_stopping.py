@@ -272,3 +272,47 @@ def test_fused_stop_sharded_matches_unsharded():
     b = np.asarray(mon_ref.best_xhat1)
     err = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-30)
     assert err < 1e-5, f"sharded best iterate mismatch: {err:.3e}"
+
+
+def test_stop_state_no_converged_on_nonfinite():
+    """Parity with StopMonitor: convergence is never reported on an
+    iteration whose gam1 is non-finite, even if xhat1 barely changed
+    (the host monitor's `not finite` branch short-circuits the tol
+    check; tol-only runs then surface the non-finite state instead of a
+    clean 'converged')."""
+    from sgvamp_tpu.core.vamp import StopState, stop_state_update
+
+    x = jnp.ones(16)
+    mon = StopState.create(16, jnp.float32)
+    mon = stop_state_update(mon, jnp.asarray(0), x, jnp.asarray([5.0]),
+                            tol=1e-3, gam1_drop=0.0)
+    assert not bool(mon.done)
+    mon = stop_state_update(mon, jnp.asarray(1), x * (1 + 1e-6),
+                            jnp.asarray([jnp.nan]), tol=1e-3, gam1_drop=0.0)
+    assert not bool(mon.done), "converged fired on a non-finite iteration"
+    # host monitor agrees
+    host = StopMonitor(tol=1e-3)
+    assert host.update(0, np.ones(16), np.asarray([5.0])) is None
+    assert host.update(1, np.ones(16) * (1 + 1e-6),
+                       np.asarray([np.nan])) is None
+
+
+def test_cli_fused_armed_resume_completed(tmp_path):
+    """Re-running a COMPLETED armed fused checkpointed run with --resume
+    must exit cleanly (no chunk executes; there is no stop state)."""
+    from sgvamp_tpu.cli import main as cli_main
+    from sgvamp_tpu.cli import simulate as cli_sim
+
+    d = tmp_path / "sim"
+    d.mkdir()
+    assert cli_sim.main([
+        "gen-phen", "--out", str(d / "s"), "--N", "1500", "--M", "200",
+        "--h2", "0.8", "--lam", "0.1", "--seed", "0"]) == 0
+    args = ["--ld-files", str(d / "s_R.npy"), "--r-files", str(d / "s_r.npy"),
+            "--out-dir", str(tmp_path / "out"), "--out-name", "t",
+            "--N", "1500", "--M", "200", "--iterations", "4",
+            "--s", "0.1", "--platform", "cpu", "--x64", "1", "--seed", "1",
+            "--fused", "1", "--checkpoint-dir", str(tmp_path / "ck"),
+            "--checkpoint-every", "2", "--stop-tol", "1e-12"]
+    assert cli_main.main(args) == 0
+    assert cli_main.main(args + ["--resume", "1"]) == 0  # crashed pre-fix
