@@ -354,34 +354,54 @@ def main(argv: Optional[List[str]] = None) -> int:
             bands, rs_list, bw, dropped = loaders.ld_files_to_bands(
                 ld_paths, rs, panel, args.bandwidth, dtype=band_dtype)
             rs = np.stack(rs_list)
+            band_views = [bands[k] for k in range(K)]
+            # the cross-cohort missing-SNP fill can make bands differ per
+            # cohort even for identical paths: never share packs here
+            pack_keys = list(range(K))
         else:
-            band_list, bws = [], []
+            # Load + convert each UNIQUE path once: the shared-panel
+            # meta-analysis workflow (e.g. K=8 cohorts over one biobank
+            # panel) lists the same file once per cohort, and 7/8 of
+            # that XL run's ~8-minute ingestion was redundant re-loads.
+            # Also skips the (K, M, 2bw+1) host stack (16 GB at the
+            # ceiling) - cohorts reference the unique padded bands.
+            uniq = {}
             for p in ld_paths:
-                band_k, bw_k, d_k = loaders.csr_to_band(
-                    loaders.load_R(p), args.bandwidth, dtype=band_dtype)
-                band_list.append(band_k)
-                bws.append(bw_k)
-                dropped += d_k
-            bw = max(bws)
-            bands = np.zeros((K, M, 2 * bw + 1), band_dtype)
-            for k, band_k in enumerate(band_list):
-                w = (band_k.shape[1] - 1) // 2
-                bands[k, :, bw - w:bw + w + 1] = band_k
+                if p not in uniq:
+                    uniq[p] = loaders.csr_to_band(
+                        loaders.load_R(p), args.bandwidth, dtype=band_dtype)
+            dropped = sum(d for _, _, d in uniq.values())
+            bw = max(w for _, w, _ in uniq.values())
+            for p, (band_k, w, _) in uniq.items():
+                if w != bw:
+                    full = np.zeros((M, 2 * bw + 1), band_dtype)
+                    full[:, bw - w:bw + w + 1] = band_k
+                    uniq[p] = (full, bw, 0)
+            band_views = [uniq[p][0] for p in ld_paths]
+            pack_keys = list(ld_paths)
             rs = np.stack(rs)
         if dropped:
             log.info(f"WARNING: {dropped} LD entries outside bandwidth {bw} dropped")
+        # block-pack each unique band once; repeated cohorts reuse it
+        pack_cache = {}
+
+        def packed(k, ctor):
+            key = pack_keys[k]
+            if key not in pack_cache:
+                pack_cache[key] = ctor(band_views[k], block_size=B, s=s,
+                                       dtype=ld_dtype)
+            return pack_cache[key]
+
         if args.operator == "sym":
             from sgvamp_tpu.ops.band_kernel import SymBandedLD
-            ops = [SymBandedLD.from_band(bands[k], block_size=B, s=s, dtype=ld_dtype)
-                   for k in range(K)]
+            ops = [packed(k, SymBandedLD.from_band) for k in range(K)]
             scales = (jnp.concatenate([o.scales for o in ops], axis=0)
                       if ops[0].scales is not None else None)
             op = SymBandedLD(upper=jnp.concatenate([o.upper for o in ops], axis=0),
                              scales=scales, s=s, packed=ops[0].packed,
                              hybrid=ops[0].hybrid)
         else:
-            ops = [BandedLD.from_band(bands[k], block_size=B, s=s, dtype=ld_dtype)
-                   for k in range(K)]
+            ops = [packed(k, BandedLD.from_band) for k in range(K)]
             op = BandedLD(blocks=jnp.concatenate([o.blocks for o in ops], axis=0),
                           s=s, accum_dtype=ops[0].accum_dtype)
         Mp = ops[0].M

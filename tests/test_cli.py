@@ -362,3 +362,13 @@ def test_cli_errors():
             "--ld-files", "a.npy", "--r-files", "a.npy",
             "--N", "10", "--M", "5", "--K", "1", "--L", "3",
         ])
+
+
+def test_cli_hybrid_requires_sym():
+    with pytest.raises(SystemExit, match="hybrid requires"):
+        cli_main.main([
+            "--ld-files", "x.npy", "--r-files", "x.npy",
+            "--out-dir", "/tmp/x", "--out-name", "t",
+            "--N", "100", "--M", "10", "--operator", "banded",
+            "--ld-dtype", "hybrid",
+        ])

@@ -10,6 +10,7 @@ import pandas as pd
 import pytest
 
 from sgvamp_tpu.cli import main as cli_main
+from sgvamp_tpu.cli import simulate as cli_sim
 
 
 def _make_cohort_data(tmp_path, tag, variants, coords, R_local, r_local):
@@ -182,3 +183,35 @@ def test_cli_gen_band_roundtrip(tmp_path):
         rows = list(csv.reader(f, delimiter="\t"))[1:]
     best_align = max(float(r[1]) for r in rows)
     assert best_align > 0.99
+
+
+def test_shared_panel_path_dedupe(tmp_path):
+    """Shared-panel meta-analysis: listing the SAME .npz once per cohort
+    must produce outputs identical to listing per-cohort COPIES of the
+    file - the deduped load/convert/pack path changes cost, not results
+    (7/8 of the K=8 x M=1M ingestion wall was redundant conversions)."""
+    import shutil
+
+    out = tmp_path / "p"
+    rc = cli_sim.main([
+        "gen-band", "--out", str(out), "--N", "20000", "--M", "1024",
+        "--h2", "0.7", "--lam", "0.02", "--bandwidth", "64", "--seed", "3",
+        "--K", "2"])
+    assert rc == 0
+    R = str(out) + "_R.npz"
+    R2 = str(tmp_path / "copy_R.npz")
+    shutil.copy(R, R2)
+    rfiles = f"{out}_0_r.npy,{out}_1_r.npy"
+    results = {}
+    for name, ld in [("shared", f"{R},{R}"), ("copies", f"{R},{R2}")]:
+        rundir = tmp_path / name
+        rc = cli_main.main([
+            "--ld-files", ld, "--r-files", rfiles,
+            "--out-dir", str(rundir), "--out-name", "t",
+            "--N", "20000,20000", "--M", "1024", "--K", "2",
+            "--iterations", "3", "--platform", "cpu", "--x64", "0",
+            "--dtype", "float32", "--operator", "sym",
+            "--block-size", "128", "--ld-dtype", "int8", "--seed", "5"])
+        assert rc == 0
+        results[name] = (rundir / "t_xhat_it_2.bin").read_bytes()
+    assert results["shared"] == results["copies"]

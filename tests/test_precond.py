@@ -281,3 +281,19 @@ def test_engine_eig_cache_trajectory_matches_direct():
         a, b = h_eig["xhat1"][it], h_lu["xhat1"][it]
         err = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-30)
         assert err < 1e-8, f"eig/direct diverged at it={it}: {err:.3e}"
+
+
+def test_diag_blocks_hybrid_matches_dense():
+    """Hybrid storage's diag_blocks() (int8 column-half slots 0,1 plus
+    the stripped unit diagonal) must equal its own to_dense()'s diagonal
+    blocks, regularization included."""
+    rng = np.random.default_rng(6)
+    M, bw, B, s = 512, 96, 64, 0.1
+    band, _, _ = simulate_ld_band(20000, M, bandwidth=bw, rng=rng,
+                                  dtype=np.float32)
+    op = SymBandedLD.from_band(band, block_size=B, s=s, dtype="hybrid")
+    D = np.asarray(op.diag_blocks(), np.float64)
+    dn = np.asarray(op.to_dense()[0], np.float64)
+    want = np.stack([dn[i * B:(i + 1) * B, i * B:(i + 1) * B]
+                     for i in range(op.M // B)])
+    np.testing.assert_allclose(D[0], want, rtol=1e-5, atol=1e-6)
