@@ -29,6 +29,18 @@ from typing import List, Optional
 import numpy as np
 
 
+
+def _pad_band(band: "np.ndarray", bw: int) -> "np.ndarray":
+    """Center symmetric band storage (M, 2w+1) inside (M, 2bw+1) at the
+    shared bandwidth bw (returns the input unchanged when already there)."""
+    w = (band.shape[1] - 1) // 2
+    if w == bw:
+        return band
+    full = np.zeros((band.shape[0], 2 * bw + 1), band.dtype)
+    full[:, bw - w:bw + w + 1] = band
+    return full
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="VAMP for summary statistics (TPU-native)")
     # -- reference-compatible surface (src/main.py:27-51) --
@@ -372,12 +384,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                         loaders.load_R(p), args.bandwidth, dtype=band_dtype)
             dropped = sum(d for _, _, d in uniq.values())
             bw = max(w for _, w, _ in uniq.values())
-            for p, (band_k, w, _) in uniq.items():
-                if w != bw:
-                    full = np.zeros((M, 2 * bw + 1), band_dtype)
-                    full[:, bw - w:bw + w + 1] = band_k
-                    uniq[p] = (full, bw, 0)
-            band_views = [uniq[p][0] for p in ld_paths]
+            band_views = [_pad_band(uniq[p][0], bw) for p in ld_paths]
             pack_keys = list(ld_paths)
             rs = np.stack(rs)
         if dropped:
@@ -441,16 +448,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             bw = max((b.shape[1] - 1) // 2 for b in bands_k)
             if dropped:
                 log.info(f"WARNING: {dropped} LD entries outside bandwidth {bw} dropped")
-            ops = []
-            for b in bands_k:
-                w = (b.shape[1] - 1) // 2
-                if w == bw:  # already at the shared bandwidth: no copy
-                    full = b
-                else:
-                    full = np.zeros((M, 2 * bw + 1), b.dtype)
-                    full[:, bw - w:bw + w + 1] = b
-                ops.append(SymBandedLD.from_band(full, block_size=B, s=s,
-                                                 dtype=ld_dtype))
+            ops = [SymBandedLD.from_band(_pad_band(b, bw), block_size=B,
+                                         s=s, dtype=ld_dtype)
+                   for b in bands_k]
             scales = (jnp.concatenate([o.scales for o in ops], axis=0)
                       if ops[0].scales is not None else None)
             op = SymBandedLD(upper=jnp.concatenate([o.upper for o in ops], axis=0),

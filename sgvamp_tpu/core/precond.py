@@ -147,7 +147,9 @@ def block_jacobi_eig(op, sub_block: int = 0, setup_chunk: int = 2048,
     Returns (Q, lam): (K, M/P, P, P) eigenvectors stored at `dtype`
     (default: the block dtype; pass the preconditioner dtype - bf16
     halves/quarters the cache's HBM residency at the ceiling, and the
-    preconditioner only steers CG), (K, M/P, P) f32 eigenvalues.
+    preconditioner only steers CG), (K, M/P, P) eigenvalues at the
+    blocks' native dtype (they are tiny; full precision keeps the f64
+    preconditioner exactly f64).
     """
     D = _extract_sub_blocks(op, sub_block)
     K, nbp, P, _ = D.shape
@@ -176,7 +178,10 @@ def block_jacobi_from_eig(Q: Array, lam: Array, gamw: Array, gam2: Array,
     matmuls. Chunked with lax.map so the f32 einsum temporaries never
     exceed O(chunk * P^2) at biobank scale."""
     K, nbp, P, _ = Q.shape
-    c = (1.0 / (gamw[:, None, None] * lam.astype(jnp.float32)
+    # the shift happens at lam's native precision (f64 eigenvalues under
+    # an f64 preconditioner stay f64); only the final product drops to
+    # Q's storage dtype
+    c = (1.0 / (gamw[:, None, None] * lam
                 + gam2[:, None, None])).astype(Q.dtype)
     total = K * nbp
     if not chunk or total <= chunk:

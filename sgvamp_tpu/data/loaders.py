@@ -195,9 +195,12 @@ def csr_to_band(R, bandwidth: Optional[int] = None,
         Rc = R.tocsr()
         # non-canonical CSR may itself carry duplicate column indices,
         # which scipy SUMS on use but the native one-pass writer would
-        # last-write-win; canonicalize so both paths agree (no-op for
-        # already-canonical matrices)
-        Rc.sum_duplicates()
+        # last-write-win; canonicalize so both paths agree. On a COPY:
+        # tocsr() of a csr_matrix returns SELF, and sum_duplicates would
+        # mutate the caller's arrays in place.
+        if not Rc.has_canonical_format:
+            Rc = Rc.copy()
+            Rc.sum_duplicates()
         M = Rc.shape[0]
         bw = bandwidth
         if bw is None:

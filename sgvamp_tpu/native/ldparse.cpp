@@ -346,9 +346,8 @@ void ldparse_band_pack_i8(const float* band, int64_t M_orig, int64_t nd,
 // nibble = column j + B/2). scales is (nb, hb+2, B) float32 with slots
 // 0 and 1 sharing the d=0 row scales. Bit-identical to the numpy path
 // (rint = round-half-even, per-row abs-max, identical pad/edge
-// invariants; the numpy path quantizes with v/scale while this uses
-// v * (1/scale) - see the Python parity test, which asserts exact
-// equality of the packed bytes).
+// invariants); the Python parity test asserts exact equality of the
+// packed bytes and scales.
 
 void ldparse_band_pack_hybrid(const float* band, int64_t M_orig, int64_t nd,
                               int64_t B, int64_t nb, int64_t hb,
